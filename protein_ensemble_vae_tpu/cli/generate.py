@@ -1,0 +1,72 @@
+"""Generation CLI — reference ``generate_ensemble_pdbs.py`` equivalent.
+
+    pev-generate --checkpoint checkpoints/hier_cvae/best --manifest data.csv \
+                 --output_dir generated/ --num_samples 10
+
+Model architecture is rebuilt from the checkpoint's config sidecar
+("architecture travels with the checkpoint").
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="Generate conformational "
+                                 "ensembles from a trained checkpoint")
+    ap.add_argument("--checkpoint", required=True,
+                    help="checkpoint directory (with state/ + meta.json)")
+    ap.add_argument("--manifest", required=True, help="manifest CSV")
+    ap.add_argument("--output_dir", default="generated_ensembles")
+    ap.add_argument("--num_samples", type=int, default=10)
+    ap.add_argument("--max_structures", type=int, default=None)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def main(argv=None):
+    import jax
+
+    from protein_ensemble_vae_tpu.data import EnsembleDataset, SingleConformerView
+    from protein_ensemble_vae_tpu.infer import generate_ensembles
+    from protein_ensemble_vae_tpu.models import HierCVAE
+    from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
+                                                           load_run_config)
+    from protein_ensemble_vae_tpu.train.training import create_train_state
+
+    args = build_parser().parse_args(argv)
+
+    cfg = load_run_config(args.checkpoint)
+    model = HierCVAE(cfg.model)
+
+    ds = EnsembleDataset(args.manifest, use_seqemb=cfg.model.use_seqemb,
+                         verbose=True)
+    view = SingleConformerView(ds)
+
+    # template state for restore
+    item = view[0]
+    import numpy as np
+    L = item["mask"].shape[0]
+    seq_emb = item["seq_emb"]
+    if seq_emb is None:
+        seq_emb = np.zeros((L, cfg.model.seqemb_dim), np.float32)
+    sample = dict(seq_emb=seq_emb[None], n=item["n"][None], ca=item["ca"][None],
+                  c=item["c"][None], dihedrals=item["dihedrals"][None],
+                  mask=item["mask"][None])
+    template = create_train_state(model, jax.random.PRNGKey(0), sample)
+    state = load_checkpoint(args.checkpoint, template)
+
+    out = generate_ensembles(model, {"params": state.params}, view,
+                             args.output_dir, num_samples=args.num_samples,
+                             seed=args.seed,
+                             max_structures=args.max_structures,
+                             buckets=cfg.train.bucket_sizes,
+                             temperature=args.temperature)
+    print(f"[generate] wrote {len(out['results'])} structures to "
+          f"{args.output_dir}; summary: {out['summary_path']}")
+
+
+if __name__ == "__main__":
+    main()

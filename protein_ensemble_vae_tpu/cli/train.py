@@ -1,0 +1,190 @@
+"""Train CLI — flag-compatible with reference ``models/vae.py:17-80``.
+
+    pev-train --manifest_train train.csv --manifest_val val.csv [--use_seqemb]
+              [--d_model 512 ...] [--kl_schedule cyclical] [--dp N --tp M] ...
+
+Differences from the reference (deliberate, documented):
+- ``--kl_schedule`` is honored (the reference always used cyclical,
+  training.py:231-236).
+- ``--decoder_hidden`` defaults to 256 and is honored (the reference's flag
+  default 512 was silently overridden to 256, en_gnn_decoder.py:343-349).
+- ``--resume`` restores optimizer/scheduler/epoch state (unfinished in the
+  reference).
+- ``--dp/--tp`` run the step over a device mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="Train the hierarchical conditional VAE on NMR / "
+                    "cross-PDB conformational ensembles (TPU-native)")
+    ap.add_argument("--manifest_train", required=True)
+    ap.add_argument("--manifest_val", required=True)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=3e-5)
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--use_seqemb", action="store_true")
+
+    ap.add_argument("--d_model", type=int, default=512)
+    ap.add_argument("--nhead", type=int, default=8)
+    ap.add_argument("--ff", type=int, default=1024)
+    ap.add_argument("--nlayers", type=int, default=6)
+    ap.add_argument("--z_global", type=int, default=512)
+    ap.add_argument("--z_local", type=int, default=256)
+    ap.add_argument("--decoder_hidden", type=int, default=256)
+    ap.add_argument("--decoder_layers", type=int, default=8)
+    ap.add_argument("--max_neighbors", type=int, default=40)
+    ap.add_argument("--dropout", type=float, default=0.1)
+
+    ap.add_argument("--pair_stride", type=int, default=8)
+    ap.add_argument("--w_rec", type=float, default=10.0)
+    ap.add_argument("--w_pair", type=float, default=10.0)
+    ap.add_argument("--kl_warmup_epochs", type=int, default=20)
+    ap.add_argument("--klw_global", type=float, default=1.0)
+    ap.add_argument("--klw_local", type=float, default=0.5)
+    ap.add_argument("--w_dihedral", type=float, default=20.0)
+    ap.add_argument("--w_rama", type=float, default=400.0)
+    ap.add_argument("--w_bond", type=float, default=500.0)
+    ap.add_argument("--w_angle", type=float, default=500.0)
+    ap.add_argument("--w_seq", type=float, default=50.0)
+    ap.add_argument("--w_clash", type=float, default=300.0)
+
+    ap.add_argument("--kl_schedule", type=str, default="cyclical",
+                    choices=["cyclical", "monotonic", "adaptive", "exponential"])
+    ap.add_argument("--kl_cycles", type=int, default=4)
+    ap.add_argument("--kl_ratio", type=float, default=0.4)
+
+    ap.add_argument("--save", default="checkpoints/hier_cvae")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint_every", type=int, default=0)
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
+
+    ap.add_argument("--early_stopping_patience", type=int, default=20)
+    ap.add_argument("--early_stopping_metric", type=str, default="rec",
+                    choices=["rec", "loss", "rmsd"])
+    ap.add_argument("--early_stopping_delta", type=float, default=1e-4)
+
+    ap.add_argument("--wandb_project", type=str, default="Protein-VAE")
+    ap.add_argument("--wandb_run_name", type=str, default=None)
+    ap.add_argument("--wandb_mode", type=str, default="disabled",
+                    choices=["online", "offline", "disabled"])
+    ap.add_argument("--log_jsonl", type=str, default=None)
+    return ap
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from protein_ensemble_vae_tpu.config import (LossWeights, ModelConfig,
+                                                 RunConfig, TrainConfig)
+    from protein_ensemble_vae_tpu.data import EnsembleDataset
+    from protein_ensemble_vae_tpu.models import HierCVAE
+    from protein_ensemble_vae_tpu.train import train_model
+    from protein_ensemble_vae_tpu.train.checkpoint import save_checkpoint
+    from protein_ensemble_vae_tpu.utils import MetricLogger
+
+    args = build_parser().parse_args(argv)
+
+    train_ds = EnsembleDataset(args.manifest_train, use_seqemb=args.use_seqemb,
+                               verbose=True)
+    val_ds = EnsembleDataset(args.manifest_val, use_seqemb=args.use_seqemb,
+                             verbose=True)
+    seqemb_dim = train_ds.seqemb_dim if args.use_seqemb else None
+    if seqemb_dim is None:
+        seqemb_dim = 1280  # zero-filled placeholder channel
+
+    cfg = RunConfig(
+        model=ModelConfig(
+            seqemb_dim=seqemb_dim, d_model=args.d_model, nhead=args.nhead,
+            ff=args.ff, nlayers=args.nlayers, z_global=args.z_global,
+            z_local=args.z_local, dropout=args.dropout,
+            decoder_hidden=args.decoder_hidden,
+            decoder_layers=args.decoder_layers,
+            max_neighbors=args.max_neighbors,
+            use_seqemb=args.use_seqemb),
+        loss=LossWeights(
+            w_rec=args.w_rec, w_pair=args.w_pair, pair_stride=args.pair_stride,
+            klw_global=args.klw_global, klw_local=args.klw_local,
+            w_dihedral=args.w_dihedral, w_rama=args.w_rama,
+            w_bond=args.w_bond, w_angle=args.w_angle, w_seq=args.w_seq,
+            w_clash=args.w_clash),
+        train=TrainConfig(
+            batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+            seed=args.seed, kl_schedule=args.kl_schedule,
+            kl_cycles=args.kl_cycles, kl_ratio=args.kl_ratio,
+            kl_warmup_epochs=args.kl_warmup_epochs,
+            early_stopping_patience=args.early_stopping_patience,
+            early_stopping_metric=args.early_stopping_metric,
+            early_stopping_delta=args.early_stopping_delta,
+            save_path=args.save, checkpoint_every=args.checkpoint_every,
+            resume=args.resume, compute_dtype=args.compute_dtype,
+            dp=args.dp, tp=args.tp))
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model = HierCVAE(cfg.model, dtype=dtype)
+
+    logger = MetricLogger(jsonl_path=args.log_jsonl,
+                          wandb_mode=args.wandb_mode,
+                          wandb_project=args.wandb_project,
+                          wandb_run_name=args.wandb_run_name,
+                          config={"model": cfg.model.__dict__,
+                                  "loss": cfg.loss.__dict__,
+                                  "train": cfg.train.__dict__})
+
+    jit_wrapper = None
+    if args.dp > 1 or args.tp > 1:
+        from protein_ensemble_vae_tpu.parallel import make_mesh, make_parallel_jit
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        jit_wrapper = make_parallel_jit(mesh, use_tp=args.tp > 1)
+        logger.info(f"[mesh] dp={args.dp} tp={args.tp}")
+
+    def checkpoint_fn(state, epoch, loss_history, meta):
+        tag = "best" if meta.get("best") else f"epoch{epoch:05d}"
+        path = os.path.join(args.save, tag)
+        save_checkpoint(path, state, cfg, epoch, loss_history, meta)
+        logger.info(f"[checkpoint] saved {path}")
+
+    start_epoch = 1
+    init_state = None
+    if args.resume and os.path.isdir(os.path.join(args.save, "best")):
+        from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
+                                                               load_meta)
+        from protein_ensemble_vae_tpu.data import make_epoch_batches
+        from protein_ensemble_vae_tpu.train.training import (
+            _batch_to_arrays, create_train_state)
+        import jax
+        path = os.path.join(args.save, "best")
+        first = next(iter(make_epoch_batches(
+            train_ds, cfg.train.batch_size, cfg.train.bucket_sizes, False,
+            cfg.train.seed)))
+        sample = _batch_to_arrays(first, cfg.model.seqemb_dim)["inp"]
+        template = create_train_state(model, jax.random.PRNGKey(0), sample)
+        init_state = load_checkpoint(path, template)
+        start_epoch = load_meta(path)["epoch"] + 1
+        logger.info(f"[resume] from {path} at epoch {start_epoch}")
+
+    state, history = train_model(model, train_ds, val_ds, cfg, logger=logger,
+                                 jit_wrapper=jit_wrapper,
+                                 start_epoch=start_epoch,
+                                 init_state=init_state,
+                                 checkpoint_fn=checkpoint_fn)
+
+    final_path = os.path.join(args.save, "final")
+    save_checkpoint(final_path, state, cfg,
+                    epoch=len(history["train"]["loss"]),
+                    loss_history=history)
+    logger.info(f"[done] final checkpoint: {final_path}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

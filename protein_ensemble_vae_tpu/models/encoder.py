@@ -1,0 +1,235 @@
+"""Transformer encoder + hierarchical latent heads (Flax).
+
+TPU-first re-design of reference ``models/encoder.py``: same architecture
+family (feature fusion -> geometric MHA -> pre-norm transformer stack ->
+attention-pooled global latent + per-residue local latent) expressed as Flax
+modules with static shapes, mask-aware attention, and a configurable compute
+dtype (bfloat16 matmuls on the MXU, fp32 params).
+
+Reference-matched details:
+- fusion layout seq(d/2) ‖ coord(d/4) ‖ dihedral(d/4)  (encoder.py:44-62,103-116)
+- sinusoidal PE, interleaved sin/cos                    (encoder.py:14-27)
+- geometric MHA with nhead/2 heads and a learned residual scale init 0.1
+                                                        (encoder.py:79-82,121-129)
+- pre-norm transformer layers, ReLU FFN                 (encoder.py:70-75)
+- latent logvar head biases init −2.0, global query init N(0, 0.02)
+                                                        (encoder.py:172-177)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Dtype = Any
+
+
+def sinusoidal_pe(length: int, d_model: int, dtype: Dtype = jnp.float32) -> Array:
+    """Interleaved sin/cos positional table [length, d_model]."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / d_model))
+    pe = jnp.zeros((length, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe.astype(dtype)
+
+
+class SinusoidalPE(nn.Module):
+    d_model: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return x + sinusoidal_pe(x.shape[1], self.d_model, self.dtype)
+
+
+def _key_padding_mask(mask: Optional[Array]) -> Optional[Array]:
+    """[B, L] validity -> [B, 1, 1, L] attention mask (True = attend)."""
+    if mask is None:
+        return None
+    return mask.astype(bool)[:, None, None, :]
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm transformer layer (torch ``TransformerEncoderLayer`` with
+    ``norm_first=True``, ReLU FFN): x += attn(LN(x)); x += ffn(LN(x))."""
+
+    d_model: int
+    nhead: int
+    ff: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        attn_mask = _key_padding_mask(mask)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, dropout_rate=self.dropout, dtype=self.dtype,
+            name="self_attn")(h, h, h, mask=attn_mask,
+                              deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(self.ff, dtype=self.dtype, name="linear1")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x
+
+
+class DihedralAwareEncoder(nn.Module):
+    """Feature fusion + geometric attention + transformer stack
+    (reference encoder.py:30-141)."""
+
+    seq_dim: int
+    d_model: int = 512
+    nhead: int = 8
+    ff: int = 1024
+    nlayers: int = 6
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, seq_emb: Array, n_coords: Array, ca_coords: Array,
+                 c_coords: Array, dihedrals: Array, mask: Array,
+                 deterministic: bool = True) -> Array:
+        d = self.d_model
+        backbone = jnp.concatenate([n_coords, ca_coords, c_coords], axis=-1)
+
+        coord_feat = nn.Dense(d // 4, dtype=self.dtype, name="coord_proj")(
+            backbone.astype(self.dtype))
+        coord_feat = nn.LayerNorm(dtype=self.dtype, name="coord_norm")(coord_feat)
+
+        dih_feat = nn.Dense(d // 4, dtype=self.dtype, name="dihedral_proj")(
+            dihedrals.astype(self.dtype))
+        dih_feat = nn.LayerNorm(dtype=self.dtype, name="dihedral_norm")(dih_feat)
+
+        seq_feat = nn.Dense(d // 2, dtype=self.dtype, name="seq_proj")(
+            seq_emb.astype(self.dtype))
+
+        combined = jnp.concatenate([seq_feat, coord_feat, dih_feat], axis=-1)
+
+        feats = nn.Dense(d, dtype=self.dtype, name="fusion_dense")(combined)
+        feats = nn.LayerNorm(dtype=self.dtype, name="fusion_norm")(feats)
+        feats = nn.relu(feats)
+        feats = nn.Dropout(self.dropout)(feats, deterministic=deterministic)
+
+        feats = SinusoidalPE(d, dtype=self.dtype)(feats)
+
+        # Geometric attention (local) with a small learned residual scale.
+        geom_scale = self.param("geom_res_scale",
+                                lambda key: jnp.asarray(0.1, jnp.float32))
+        attn_out = nn.MultiHeadDotProductAttention(
+            num_heads=max(self.nhead // 2, 1), dropout_rate=self.dropout,
+            dtype=self.dtype, name="geometric_attention")(
+                feats, feats, feats, mask=_key_padding_mask(mask),
+                deterministic=deterministic)
+        feats = feats + geom_scale.astype(self.dtype) * attn_out
+
+        for i in range(self.nlayers):
+            feats = TransformerEncoderLayer(
+                d_model=d, nhead=self.nhead, ff=self.ff, dropout=self.dropout,
+                dtype=self.dtype, name=f"layer_{i}")(
+                    feats, mask, deterministic=deterministic)
+
+        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(feats)
+
+
+def _logvar_bias_init(z: int):
+    """Bias init with the logvar half at −2.0 (reference encoder.py:172-175)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        b = jnp.zeros(shape, dtype)
+        return b.at[z:].set(-2.0)
+
+    return init
+
+
+class HierLatent(nn.Module):
+    """Hierarchical posterior heads: attention-pooled global + per-residue
+    local (reference encoder.py:144-208)."""
+
+    d_model: int
+    z_g: int = 512
+    z_l: int = 256
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, H: Array, mask: Array, deterministic: bool = True
+                 ) -> tuple[Array, Array, Array, Array]:
+        B = H.shape[0]
+        query = self.param(
+            "global_query",
+            lambda key, shape: 0.02 * jax.random.normal(key, shape),
+            (1, 1, self.d_model))
+        q = jnp.broadcast_to(query, (B, 1, self.d_model)).astype(self.dtype)
+
+        pooled = nn.MultiHeadDotProductAttention(
+            num_heads=4, dropout_rate=self.dropout, dtype=self.dtype,
+            name="global_attention")(q, H, H, mask=_key_padding_mask(mask),
+                                     deterministic=deterministic)
+        pooled = pooled[:, 0]                                   # [B, d]
+
+        g = nn.Dense(256, dtype=self.dtype, name="global_hidden")(pooled)
+        g = nn.relu(g)
+        g = nn.Dense(2 * self.z_g, dtype=self.dtype, name="global_out",
+                     bias_init=_logvar_bias_init(self.z_g))(g)
+        mu_g, lv_g = jnp.split(g, 2, axis=-1)
+
+        l = nn.Dense(256, dtype=self.dtype, name="local_hidden")(H)
+        l = nn.relu(l)
+        l = nn.Dense(2 * self.z_l, dtype=self.dtype, name="local_out",
+                     bias_init=_logvar_bias_init(self.z_l))(l)
+        mu_l, lv_l = jnp.split(l, 2, axis=-1)
+
+        return mu_g, lv_g, mu_l, lv_l
+
+
+class ProteinEncoder(nn.Module):
+    """DihedralAwareEncoder + HierLatent + reparameterization
+    (reference encoder.py:211-262)."""
+
+    seqemb_dim: int
+    d_model: int = 512
+    nhead: int = 8
+    ff: int = 1024
+    nlayers: int = 6
+    z_g: int = 512
+    z_l: int = 256
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.enc = DihedralAwareEncoder(
+            seq_dim=self.seqemb_dim, d_model=self.d_model, nhead=self.nhead,
+            ff=self.ff, nlayers=self.nlayers, dropout=self.dropout,
+            dtype=self.dtype)
+        self.latent = HierLatent(
+            d_model=self.d_model, z_g=self.z_g, z_l=self.z_l,
+            dropout=self.dropout, dtype=self.dtype)
+
+    def reparam(self, mu: Array, lv: Array) -> Array:
+        eps = jax.random.normal(self.make_rng("reparam"), mu.shape, mu.dtype)
+        return mu + eps * jnp.exp(0.5 * lv)
+
+    def __call__(self, seqemb: Array, n_coords: Array, ca_coords: Array,
+                 c_coords: Array, dihedrals: Array, mask: Array,
+                 deterministic: bool = True):
+        H = self.enc(seqemb, n_coords, ca_coords, c_coords, dihedrals, mask,
+                     deterministic=deterministic)
+        mu_g, lv_g, mu_l, lv_l = self.latent(H, mask,
+                                             deterministic=deterministic)
+        z_g = self.reparam(mu_g, lv_g)
+        z_l = self.reparam(mu_l, lv_l)
+        return z_g, z_l, mu_g, lv_g, mu_l, lv_l

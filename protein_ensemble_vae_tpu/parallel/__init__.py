@@ -1,0 +1,6 @@
+from protein_ensemble_vae_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    make_parallel_jit,
+    shard_batch,
+    tp_param_pspecs,
+)

@@ -1,0 +1,90 @@
+"""Data pipeline tests over the synthetic H5 fixture."""
+
+import numpy as np
+import pytest
+
+from protein_ensemble_vae_tpu.data import (
+    EnsembleDataset,
+    SingleConformerView,
+    make_epoch_batches,
+    make_synthetic_dataset,
+)
+from protein_ensemble_vae_tpu.data.collate import bucket_for
+from protein_ensemble_vae_tpu.data.dataset import sequence_to_labels
+
+
+@pytest.fixture(scope="module")
+def synthetic(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    train_csv, val_csv = make_synthetic_dataset(
+        str(root), n_proteins=2, K=4, lengths=(24, 32), seqemb_dim=16, seed=3)
+    return train_csv, val_csv
+
+
+def test_dataset_pairs(synthetic):
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    # 2 proteins x C(4,2)=6 pairs each
+    assert len(ds) == 12
+    assert len(ds.conformers) == 8
+    assert ds.seqemb_dim == 16
+    inp, tgt = ds[0]
+    assert inp["ca"].shape[-1] == 3
+    # centered on valid-CA centroid
+    m = inp["mask"].astype(bool)
+    np.testing.assert_allclose(inp["ca"][m].mean(0), 0.0, atol=1e-4)
+    # pair members belong to the same protein (same length here)
+    assert inp["ca"].shape == tgt["ca"].shape
+
+
+def test_sequence_labels():
+    labels = sequence_to_labels("ARNDX", 6)
+    assert labels.tolist() == [0, 1, 2, 3, 0, 0]  # X -> 0, pad -> 0
+
+
+def test_bucketing():
+    assert bucket_for(24, (32, 64)) == 32
+    assert bucket_for(33, (32, 64)) == 64
+    with pytest.raises(ValueError):
+        bucket_for(100, (32, 64))
+
+
+def test_epoch_batches_shapes(synthetic):
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    batches = list(make_epoch_batches(ds, batch_size=4, buckets=(24, 32, 64),
+                                      shuffle=True, seed=0))
+    assert sum(b.inp.ca.shape[0] for b in batches) == len(ds)
+    for b in batches:
+        L = b.inp.ca.shape[1]
+        assert L in (24, 32, 64)
+        assert b.inp.seq_emb.shape == (b.inp.ca.shape[0], L, 16)
+        assert b.tgt.mask.shape == b.inp.mask.shape
+        # padded rows are zero-masked
+        lengths = b.inp.mask.sum(1)
+        assert np.all(lengths > 0)
+
+
+def test_epoch_batches_deterministic_given_seed(synthetic):
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    a = [b.inp.ca.sum() for b in make_epoch_batches(ds, 4, (32, 64), True, 7)]
+    b = [b.inp.ca.sum() for b in make_epoch_batches(ds, 4, (32, 64), True, 7)]
+    assert a == b
+
+
+def test_single_conformer_view(synthetic):
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    view = SingleConformerView(ds)
+    assert len(view) == 8
+    item = view[0]
+    assert item["ca"].ndim == 2
+    assert "seq_labels" in item
+
+
+def test_no_seqemb_mode(synthetic):
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=False)
+    batches = list(make_epoch_batches(ds, 2, (32, 64), False, 0))
+    assert batches[0].inp.seq_emb is None

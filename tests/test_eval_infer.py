@@ -1,0 +1,176 @@
+"""Eval metrics + PDB IO + geometry gate tests (incl. parity vs the
+reference validation_metrics oracle when available)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from protein_ensemble_vae_tpu.data.synthetic import helix_backbone
+from protein_ensemble_vae_tpu.eval import (
+    classify_ramachandran,
+    compute_contact_map,
+    compute_gdt,
+    compute_lddt,
+    compute_radius_of_gyration,
+    compute_rmsf,
+    compute_tm_score,
+    contact_map_overlap,
+    phi_psi_from_backbone,
+)
+from protein_ensemble_vae_tpu.eval.report import (validate_ensemble,
+                                                  validate_prediction,
+                                                  write_report)
+from protein_ensemble_vae_tpu.infer import (
+    read_pdb_backbone,
+    validate_protein_geometry,
+    write_multi_model_pdb,
+    write_pdb,
+)
+
+from conftest import REFERENCE_DIR, reference_available
+
+
+@pytest.fixture(scope="module")
+def ref_vm():
+    if not reference_available():
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, os.path.join(REFERENCE_DIR, "scripts"))
+    import validation_metrics as vm
+    return vm
+
+
+def _noisy(ca, rng, scale):
+    return ca + rng.normal(0, scale, ca.shape).astype(np.float32)
+
+
+def test_tm_score_parity(ref_vm, rng):
+    _, ca, _ = helix_backbone(60)
+    pred = _noisy(ca, rng, 1.0)
+    ours = compute_tm_score(pred, ca)
+    ref = ref_vm.compute_tm_score_python(pred, ca)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_lddt_parity(ref_vm, rng):
+    _, ca, _ = helix_backbone(60)
+    pred = _noisy(ca, rng, 1.0)
+    ours_g, ours_pr = compute_lddt(pred, ca)
+    ref_g, ref_pr = ref_vm.compute_lddt(pred, ca)
+    np.testing.assert_allclose(ours_g, ref_g, rtol=1e-5)
+    np.testing.assert_allclose(ours_pr, ref_pr, rtol=1e-4)
+
+
+def test_gdt_parity(ref_vm, rng):
+    _, ca, _ = helix_backbone(60)
+    pred = _noisy(ca, rng, 1.5)
+    ours = compute_gdt(pred, ca)
+    ref = ref_vm.compute_gdt(pred, ca)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_rmsf_parity(ref_vm, rng):
+    _, ca, _ = helix_backbone(40)
+    ens = np.stack([_noisy(ca, rng, 0.5) for _ in range(5)])
+    ours = compute_rmsf(ens)
+    ref = ref_vm.compute_rmsf(ens)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_contact_parity(ref_vm, rng):
+    _, ca, _ = helix_backbone(40)
+    pred = _noisy(ca, rng, 1.0)
+    ours = contact_map_overlap(compute_contact_map(pred),
+                               compute_contact_map(ca))
+    ref = ref_vm.contact_map_overlap(ref_vm.compute_contact_map(pred),
+                                     ref_vm.compute_contact_map(ca))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_rg_parity(ref_vm):
+    _, ca, _ = helix_backbone(50)
+    np.testing.assert_allclose(compute_radius_of_gyration(ca),
+                               ref_vm.compute_radius_of_gyration(ca),
+                               rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Standalone
+# ---------------------------------------------------------------------------
+
+def test_tm_score_perfect_is_one():
+    _, ca, _ = helix_backbone(50)
+    assert compute_tm_score(ca, ca) > 0.999
+
+
+def test_lddt_identity_is_one():
+    _, ca, _ = helix_backbone(50)
+    g, _ = compute_lddt(ca, ca)
+    assert g == 1.0
+
+
+def test_pdb_roundtrip(tmp_path):
+    n, ca, c = helix_backbone(20)
+    mask = np.ones(20, np.float32)
+    mask[5] = 0.0
+    seq = "ACDEFGHIKLMNPQRSTVWY"
+    path = str(tmp_path / "test.pdb")
+    write_pdb(n, ca, c, mask, path, sequence=seq, pdb_id="TEST")
+    parsed = read_pdb_backbone(path)
+    assert parsed["ca"].shape[0] == 1
+    valid = mask > 0.5
+    np.testing.assert_allclose(parsed["ca"][0][valid], ca[valid], atol=2e-3)
+    np.testing.assert_allclose(parsed["mask"], mask)
+    assert parsed["sequence"][0] == "A"
+    # CONECT records exist
+    text = open(path).read()
+    assert "CONECT" in text and "TER" in text
+
+
+def test_multi_model_pdb_roundtrip(tmp_path):
+    n, ca, c = helix_backbone(15)
+    mask = np.ones(15, np.float32)
+    K = 4
+    ens_n = np.stack([n + i * 0.1 for i in range(K)])
+    ens_ca = np.stack([ca + i * 0.1 for i in range(K)])
+    ens_c = np.stack([c + i * 0.1 for i in range(K)])
+    path = str(tmp_path / "ens.pdb")
+    write_multi_model_pdb(ens_n, ens_ca, ens_c, mask, path, sequence="A" * 15)
+    parsed = read_pdb_backbone(path)
+    assert parsed["ca"].shape == (K, 15, 3)
+    np.testing.assert_allclose(parsed["ca"][2], ens_ca[2], atol=2e-3)
+    assert f"NUMMDL    {K}" in open(path).read()
+
+
+def test_geometry_gate():
+    _, ca, _ = helix_backbone(30)
+    mask = np.ones(30, np.float32)
+    ok, reason = validate_protein_geometry(ca, mask)
+    assert ok, reason
+    bad = ca.copy()
+    bad[15] += 50.0
+    ok, reason = validate_protein_geometry(bad, mask)
+    assert not ok
+
+
+def test_ramachandran_classification_of_real_helix():
+    n, ca, c = helix_backbone(40)
+    mask = np.ones(40, np.float32)
+    phi, psi, valid = phi_psi_from_backbone(n, ca, c, mask)
+    res = classify_ramachandran(phi, psi, valid)
+    assert res["n"] > 0
+    assert abs(res["favored"] + res["allowed"] + res["outlier"] - 1.0) < 1e-6
+
+
+def test_validation_report(tmp_path, rng):
+    _, ca, _ = helix_backbone(40)
+    pred = _noisy(ca, rng, 0.5)
+    pm = validate_prediction(pred, ca)
+    assert 0 <= pm["tm_score"] <= 1
+    ens = np.stack([_noisy(ca, rng, 0.3) for _ in range(4)])
+    em = validate_ensemble(ens)
+    assert em["diversity"] > 0.05
+    path = write_report(str(tmp_path / "report.txt"), pm, em)
+    text = open(path).read()
+    assert "TM-score" in text and "diversity" in text

@@ -1,0 +1,235 @@
+"""Loss battery tests: numerical parity vs the reference torch oracle
+(/root/reference, when present) plus standalone sanity/property checks.
+
+Parity is the BASELINE acceptance gate: "reproduce per-term losses ... to
+numerical tolerance" on fixed inputs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from protein_ensemble_vae_tpu import losses as L
+from protein_ensemble_vae_tpu.config import LossWeights
+from protein_ensemble_vae_tpu.ops.geometry import dihedrals_from_coords
+
+B, SEQ = 2, 24
+
+
+def _batch(rng, B=B, L_=SEQ, holes=True):
+    n = rng.normal(0, 3, (B, L_, 3)).astype(np.float32)
+    ca = rng.normal(0, 3, (B, L_, 3)).astype(np.float32)
+    c = rng.normal(0, 3, (B, L_, 3)).astype(np.float32)
+    mask = np.ones((B, L_), np.float32)
+    if holes:
+        mask[0, -4:] = 0.0
+        mask[1, 10] = 0.0
+    labels = rng.integers(0, 20, (B, L_)).astype(np.int64)
+    logits = rng.normal(0, 1, (B, L_, 20)).astype(np.float32)
+    mu = rng.normal(0, 0.5, (B, 8)).astype(np.float32)
+    lv = rng.normal(-2, 0.3, (B, 8)).astype(np.float32)
+    mu_l = rng.normal(0, 0.5, (B, L_, 4)).astype(np.float32)
+    lv_l = rng.normal(-2, 0.3, (B, L_, 4)).astype(np.float32)
+    return dict(n=n, ca=ca, c=c, mask=mask, labels=labels, logits=logits,
+                mu=mu, lv=lv, mu_l=mu_l, lv_l=lv_l)
+
+
+# ---------------------------------------------------------------------------
+# Parity vs the reference oracle
+# ---------------------------------------------------------------------------
+
+def _t(torch, x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def test_parity_rmsd_loss(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    ref = rl.rmsd_loss(_t(torch, b["ca"] + 1), _t(torch, b["ca"]), _t(torch, b["mask"]))
+    ours = L.rmsd_loss(jnp.array(b["ca"] + 1), jnp.array(b["ca"]), jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_parity_pair_distance(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    pred = b["ca"] + rng.normal(0, 0.2, b["ca"].shape).astype(np.float32)
+    ref = rl.pair_distance_loss(_t(torch, pred), _t(torch, b["ca"]),
+                                _t(torch, b["mask"]), stride=4)
+    ours = L.pair_distance_loss(jnp.array(pred), jnp.array(b["ca"]),
+                                jnp.array(b["mask"]), stride=4)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_parity_kl(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    ref_g = rl.kl_global(_t(torch, b["mu"]), _t(torch, b["lv"]))
+    ours_g = L.kl_global(jnp.array(b["mu"]), jnp.array(b["lv"]))
+    np.testing.assert_allclose(float(ours_g), float(ref_g), rtol=1e-5)
+    ref_l = rl.kl_local(_t(torch, b["mu_l"]), _t(torch, b["lv_l"]), _t(torch, b["mask"]))
+    ours_l = L.kl_local(jnp.array(b["mu_l"]), jnp.array(b["lv_l"]), jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(ours_l), float(ref_l), rtol=1e-5)
+
+
+def test_parity_dihedrals_from_coords(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    ref = rl.compute_dihedrals_from_coords(
+        _t(torch, b["n"]), _t(torch, b["ca"]), _t(torch, b["c"]), _t(torch, b["mask"]))
+    ours = dihedrals_from_coords(jnp.array(b["n"]), jnp.array(b["ca"]),
+                                 jnp.array(b["c"]), jnp.array(b["mask"]))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-4)
+
+
+def test_parity_rama_omega_consistency(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    dih = np.asarray(dihedrals_from_coords(jnp.array(b["n"]), jnp.array(b["ca"]),
+                                           jnp.array(b["c"]), jnp.array(b["mask"])))
+    tgt = dih + rng.normal(0, 0.1, dih.shape).astype(np.float32)
+
+    ref = rl.ramachandran_loss(_t(torch, dih), _t(torch, b["mask"]))
+    ours = L.ramachandran_loss(jnp.array(dih), jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+    ref = rl.omega_trans_loss(_t(torch, dih), _t(torch, b["mask"]))
+    ours = L.omega_trans_loss(jnp.array(dih), jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+    ref = rl.dihedral_consistency_loss(_t(torch, dih), _t(torch, tgt), _t(torch, b["mask"]))
+    ours = L.dihedral_consistency_loss(jnp.array(dih), jnp.array(tgt), jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_parity_bond_and_angle(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    args_t = (_t(torch, b["n"]), _t(torch, b["ca"]), _t(torch, b["c"]), _t(torch, b["mask"]))
+    args_j = (jnp.array(b["n"]), jnp.array(b["ca"]), jnp.array(b["c"]), jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(L.bond_length_loss(*args_j)),
+                               float(rl.bond_length_loss(*args_t)), rtol=1e-4)
+    np.testing.assert_allclose(float(L.bond_angle_loss(*args_j)),
+                               float(rl.bond_angle_loss(*args_t)), rtol=1e-4)
+
+
+def test_parity_seq_and_clash(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    ref = rl.sequence_classification_loss(
+        _t(torch, b["logits"]), _t(torch, b["labels"]), _t(torch, b["mask"]))
+    ours = L.sequence_classification_loss(
+        jnp.array(b["logits"]), jnp.array(b["labels"]), jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    ref = rl.clash_loss(_t(torch, b["n"]), _t(torch, b["ca"]), _t(torch, b["c"]),
+                        _t(torch, b["mask"]))
+    ours = L.clash_loss(jnp.array(b["n"]), jnp.array(b["ca"]), jnp.array(b["c"]),
+                        jnp.array(b["mask"]))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_parity_total_loss(ref_modules, rng):
+    b = _batch(rng)
+    torch, rl = ref_modules["torch"], ref_modules["losses"]
+    pred_n = b["n"] + rng.normal(0, 0.3, b["n"].shape).astype(np.float32)
+    pred_ca = b["ca"] + rng.normal(0, 0.3, b["ca"].shape).astype(np.float32)
+    pred_c = b["c"] + rng.normal(0, 0.3, b["c"].shape).astype(np.float32)
+    tgt_dih = np.asarray(dihedrals_from_coords(jnp.array(b["n"]), jnp.array(b["ca"]),
+                                               jnp.array(b["c"]), jnp.array(b["mask"])))
+    w = LossWeights()
+    ref = rl.compute_total_loss(
+        pred_N=_t(torch, pred_n), pred_CA=_t(torch, pred_ca), pred_C=_t(torch, pred_c),
+        pred_seq=_t(torch, b["logits"]),
+        target_N=_t(torch, b["n"]), target_CA=_t(torch, b["ca"]), target_C=_t(torch, b["c"]),
+        target_seq_labels=_t(torch, b["labels"]), mask=_t(torch, b["mask"]),
+        mu_g=_t(torch, b["mu"]), lv_g=_t(torch, b["lv"]),
+        mu_l=_t(torch, b["mu_l"]), lv_l=_t(torch, b["lv_l"]),
+        target_dihedrals=_t(torch, tgt_dih),
+        klw_g=0.7, klw_l=0.3, w_pair=w.w_pair, pair_stride=w.pair_stride,
+        w_dihedral=w.w_dihedral, w_rama=w.w_rama, w_bond=w.w_bond,
+        w_angle=w.w_angle, w_rec=w.w_rec, w_seq=w.w_seq, w_clash=w.w_clash)
+    ours = L.compute_total_loss(
+        jnp.array(pred_n), jnp.array(pred_ca), jnp.array(pred_c), jnp.array(b["logits"]),
+        jnp.array(b["n"]), jnp.array(b["ca"]), jnp.array(b["c"]), jnp.array(b["labels"]),
+        jnp.array(b["mask"]), jnp.array(b["mu"]), jnp.array(b["lv"]),
+        jnp.array(b["mu_l"]), jnp.array(b["lv_l"]), jnp.array(tgt_dih),
+        klw_g=0.7, klw_l=0.3, weights=w)
+    assert set(ours.keys()) == set(k for k in ref.keys())
+    for k in ref:
+        np.testing.assert_allclose(float(ours[k]), float(ref[k]), rtol=2e-3,
+                                   atol=1e-5, err_msg=f"loss term {k}")
+
+
+# ---------------------------------------------------------------------------
+# Standalone sanity / property tests (run without the reference)
+# ---------------------------------------------------------------------------
+
+def test_rmsd_loss_zero_on_identical(rng):
+    b = _batch(rng)
+    v = L.rmsd_loss(jnp.array(b["ca"]), jnp.array(b["ca"]), jnp.array(b["mask"]))
+    assert float(v) == 0.0
+
+
+def test_kl_zero_at_standard_normal():
+    mu = jnp.zeros((2, 8))
+    lv = jnp.zeros((2, 8))
+    assert float(L.kl_global(mu, lv)) == 0.0
+
+
+def test_bond_length_zero_on_ideal_geometry():
+    ca = jnp.array([[[0.0, 0, 0], [3.8, 0, 0]]])
+    n = ca + jnp.array([1.46, 0, 0])
+    c = ca + jnp.array([0, 1.52, 0.0])
+    mask = jnp.ones((1, 2))
+    # intra-residue bonds ideal; peptide C(0)-N(1) is off so only that term fires
+    v_full = L.bond_length_loss(n, ca, c, mask)
+    intra_only = L.bond_length_loss(n[:, :1], ca[:, :1], c[:, :1], mask[:, :1])
+    assert float(intra_only) < 1e-9
+    assert float(v_full) > 0
+
+
+def test_clash_loss_detects_overlap():
+    # Two far-apart residues -> no clash; then place residue 2 on top of 0.
+    ca = np.zeros((1, 4, 3), np.float32)
+    ca[0, :, 0] = [0.0, 3.8, 7.6, 11.4]
+    n = ca + np.array([1.46, 0, 0], np.float32)
+    c = ca + np.array([0, 1.52, 0], np.float32)
+    mask = np.ones((1, 4), np.float32)
+    ok = float(L.clash_loss(jnp.array(n), jnp.array(ca), jnp.array(c), jnp.array(mask)))
+    ca2 = ca.copy()
+    ca2[0, 2] = ca[0, 0] + 0.5
+    bad = float(L.clash_loss(jnp.array(n), jnp.array(ca2), jnp.array(c), jnp.array(mask)))
+    assert bad > ok
+
+
+def test_total_loss_grads_finite(rng):
+    b = _batch(rng)
+    w = LossWeights()
+    tgt_dih = dihedrals_from_coords(jnp.array(b["n"]), jnp.array(b["ca"]),
+                                    jnp.array(b["c"]), jnp.array(b["mask"]))
+
+    def f(pred_ca):
+        d = L.compute_total_loss(
+            jnp.array(b["n"]), pred_ca, jnp.array(b["c"]), jnp.array(b["logits"]),
+            jnp.array(b["n"]), jnp.array(b["ca"]), jnp.array(b["c"]),
+            jnp.array(b["labels"]), jnp.array(b["mask"]),
+            jnp.array(b["mu"]), jnp.array(b["lv"]),
+            jnp.array(b["mu_l"]), jnp.array(b["lv_l"]), tgt_dih,
+            klw_g=1.0, klw_l=0.5, weights=w)
+        return d["total"]
+
+    g = jax.grad(f)(jnp.array(b["ca"]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # degenerate input: identical points everywhere must still be finite
+    g0 = jax.grad(f)(jnp.zeros_like(jnp.array(b["ca"])))
+    assert np.all(np.isfinite(np.asarray(g0)))
+
+
+def test_free_bits_floor():
+    mu = jnp.zeros((2, 8))
+    lv = jnp.zeros((2, 8))
+    v = L.free_bits_kl(mu, lv, free_bits=2.0)
+    np.testing.assert_allclose(float(v), 16.0, rtol=1e-6)  # 8 dims * 2 nats

@@ -1,0 +1,104 @@
+"""Mesh/sharding tests on the 8-device virtual CPU backend: DP training
+step equivalence, TP param shardings, and the driver dryrun path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import PartitionSpec as P
+
+from protein_ensemble_vae_tpu.config import LossWeights, ModelConfig
+from protein_ensemble_vae_tpu.models import HierCVAE
+from protein_ensemble_vae_tpu.parallel import (make_mesh, make_parallel_jit,
+                                               shard_batch, tp_param_pspecs)
+from protein_ensemble_vae_tpu.train.training import (create_train_state,
+                                                     make_train_step)
+
+TINY = ModelConfig(seqemb_dim=16, d_model=32, nhead=4, ff=64, nlayers=2,
+                   z_global=16, z_local=8, decoder_hidden=16,
+                   decoder_layers=2, max_neighbors=4)
+
+
+def _batch(rng, B, L, cfg):
+    conf = dict(
+        n=jnp.array(rng.normal(0, 3, (B, L, 3)), jnp.float32),
+        ca=jnp.array(rng.normal(0, 3, (B, L, 3)), jnp.float32),
+        c=jnp.array(rng.normal(0, 3, (B, L, 3)), jnp.float32),
+        mask=jnp.ones((B, L), jnp.float32),
+        seq_emb=jnp.array(rng.normal(0, 1, (B, L, cfg.seqemb_dim)), jnp.float32),
+        dihedrals=jnp.array(rng.normal(0, 1, (B, L, 6)), jnp.float32),
+        seq_labels=jnp.zeros((B, L), jnp.int32),
+    )
+    return {"inp": conf, "tgt": dict(conf)}
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8, (
+        "conftest must force 8 virtual CPU devices")
+
+
+def test_mesh_creation():
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(dp=16, tp=16)
+
+
+def test_tp_param_pspecs():
+    rng = np.random.default_rng(0)
+    model = HierCVAE(TINY)
+    batch = _batch(rng, 2, 16, TINY)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["inp"])
+    pspecs = tp_param_pspecs(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(
+        pspecs, is_leaf=lambda x: isinstance(x, P))[0]
+    specs = {"/".join(str(k.key) for k in path): spec for path, spec in flat}
+    # FFN kernels of transformer layers are TP-sharded
+    ffn1 = [s for n, s in specs.items() if "linear1/kernel" in n]
+    assert ffn1 and all(s == P(None, "tp") for s in ffn1)
+    ffn2 = [s for n, s in specs.items() if "linear2/kernel" in n]
+    assert ffn2 and all(s == P("tp", None) for s in ffn2)
+    # attention qkv shard heads
+    q = [s for n, s in specs.items() if "self_attn/query/kernel" in n]
+    assert q and all(s == P(None, "tp", None) for s in q)
+    # decoder stays replicated
+    dec = [s for n, s in specs.items()
+           if n.startswith("decoder") and s != P()]
+    assert not dec
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_parallel_step_matches_single_device(dp, tp):
+    """DP/TP-sharded step computes the same loss as the single-device step."""
+    rng = np.random.default_rng(1)
+    model = HierCVAE(TINY)
+    B, L = 8, 16
+    batch = _batch(rng, B, L, TINY)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["inp"])
+
+    step_single = make_train_step(model, LossWeights(), train=True)
+    s1, m1 = step_single(state, batch, jax.random.PRNGKey(5),
+                         jnp.float32(1.0), jnp.float32(0.5), jnp.float32(1e-4))
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    step_par = make_train_step(
+        model, LossWeights(), train=True,
+        jit_wrapper=make_parallel_jit(mesh, use_tp=tp > 1))
+    sharded = shard_batch(batch, mesh)
+    s2, m2 = step_par(state, sharded, jax.random.PRNGKey(5),
+                      jnp.float32(1.0), jnp.float32(0.5), jnp.float32(1e-4))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    # updated params agree across the mesh
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

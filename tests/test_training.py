@@ -1,0 +1,147 @@
+"""End-to-end training slice: 2-epoch smoke train on the synthetic fixture
+(mirrors the reference's de-facto smoke test, POST_PAIRWISE_ANALYSIS.md:219-228)
++ scheduler math + checkpoint/resume round-trip."""
+
+import numpy as np
+import jax
+import pytest
+
+from protein_ensemble_vae_tpu.config import (LossWeights, ModelConfig,
+                                             RunConfig, TrainConfig)
+from protein_ensemble_vae_tpu.data import EnsembleDataset, make_synthetic_dataset
+from protein_ensemble_vae_tpu.models import HierCVAE
+from protein_ensemble_vae_tpu.train import (CyclicalKLScheduler,
+                                            MonotonicKLScheduler,
+                                            ReduceLROnPlateau,
+                                            create_kl_scheduler, train_model)
+from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
+                                                       load_history,
+                                                       load_meta,
+                                                       load_run_config,
+                                                       save_checkpoint)
+from protein_ensemble_vae_tpu.utils import MetricLogger
+
+TINY_MODEL = ModelConfig(seqemb_dim=16, d_model=32, nhead=4, ff=64, nlayers=1,
+                         z_global=16, z_local=8, decoder_hidden=16,
+                         decoder_layers=2, max_neighbors=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("smoke")
+    train_csv, val_csv = make_synthetic_dataset(
+        str(root), n_proteins=1, K=3, lengths=(16,), seqemb_dim=16, seed=5)
+    train_ds = EnsembleDataset(train_csv, use_seqemb=True)
+    val_ds = EnsembleDataset(val_csv, use_seqemb=True)
+    cfg = RunConfig(
+        model=TINY_MODEL,
+        loss=LossWeights(),
+        train=TrainConfig(batch_size=3, epochs=2, lr=1e-4, seed=13,
+                          bucket_sizes=(16,), kl_schedule="cyclical"))
+    model = HierCVAE(cfg.model)
+    state, history = train_model(model, train_ds, val_ds, cfg,
+                                 logger=MetricLogger())
+    return model, cfg, state, history, str(root)
+
+
+def test_smoke_train_runs_and_is_finite(tiny_run):
+    _, _, state, history, _ = tiny_run
+    assert len(history["train"]["loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train"]["loss"])
+    assert all(np.isfinite(v) for v in history["val"]["loss"])
+    # all 12 reference metric names present
+    for k in ("loss", "rec", "pair", "klg", "kll", "dihedral", "rama",
+              "bond", "angle", "seq", "seq_acc", "clash"):
+        assert k in history["train"] and len(history["train"][k]) == 2
+
+
+def test_loss_decreases_with_training(tiny_run):
+    """Two epochs on one tiny protein: training loss should not explode."""
+    _, _, _, history, _ = tiny_run
+    assert history["train"]["loss"][-1] < history["train"]["loss"][0] * 2.0
+
+
+def test_checkpoint_roundtrip(tiny_run, tmp_path):
+    model, cfg, state, history, _ = tiny_run
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, cfg, epoch=2, loss_history=history,
+                    extra_meta={"plateau": {"lr": 1e-4}})
+    meta = load_meta(path)
+    assert meta["epoch"] == 2
+    cfg2 = load_run_config(path)
+    assert cfg2.model.d_model == cfg.model.d_model
+    hist = load_history(path)
+    assert len(hist["train"]["loss"]) == 2
+
+    restored = load_checkpoint(path, state)
+    leaves_a = jax.tree.leaves(state.params)
+    leaves_b = jax.tree.leaves(restored.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Scheduler math (golden values from the reference formulas)
+# ---------------------------------------------------------------------------
+
+def test_cyclical_scheduler_sawtooth():
+    s = CyclicalKLScheduler(n_cycles=4, ratio=0.5, max_weight=2.0)
+    w = [s.step(e, 200) for e in range(1, 201)]
+    # peak at the middle of each 50-epoch cycle
+    assert abs(max(w) - 2.0) < 0.1
+    assert w[0] == 0.0
+    # cycle restarts: epoch 51 is back near zero
+    assert w[50] < 0.1
+    # ratio=1.0 holds at max after ramp
+    s2 = CyclicalKLScheduler(n_cycles=2, ratio=1.0, max_weight=1.0)
+    w2 = [s2.step(e, 100) for e in range(1, 101)]
+    assert w2[49] > 0.9
+
+
+def test_monotonic_scheduler():
+    s = MonotonicKLScheduler(warmup_epochs=10, max_weight=1.0)
+    assert abs(s.step(5, 100) - 0.5) < 1e-9
+    assert s.step(10, 100) == 1.0
+    assert s.step(50, 100) == 1.0
+
+
+def test_adaptive_scheduler_moves_with_rmsd():
+    s = create_kl_scheduler("adaptive", max_weight=10.0, warmup_epochs=2,
+                            target_rmsd=1.5, min_weight=0.1)
+    s.step(1, 100)
+    s.step(2, 100)
+    w_before = s.step(3, 100, val_rmsd=1.0)   # good -> increase
+    w_after = s.step(4, 100, val_rmsd=3.0)    # bad -> decrease
+    assert w_after < w_before * 1.01
+
+
+def test_exponential_scheduler_monotone():
+    s = create_kl_scheduler("exponential", max_weight=1.0, warmup_epochs=20)
+    w = [s.step(e, 100) for e in range(1, 30)]
+    assert all(b >= a - 1e-12 for a, b in zip(w, w[1:]))
+    assert abs(w[19 - 1] - 1.0) < 1e-6 or w[-1] == 1.0
+
+
+def test_scheduler_state_roundtrip():
+    s = CyclicalKLScheduler(n_cycles=4, ratio=0.4, max_weight=1.0)
+    for e in range(1, 10):
+        s.step(e, 100)
+    st = s.get_state()
+    s2 = CyclicalKLScheduler(n_cycles=4, ratio=0.4, max_weight=1.0)
+    s2.load_state(st)
+    assert s2.current_weight == s.current_weight
+    assert s2.history == s.history
+
+
+def test_reduce_lr_on_plateau_torch_semantics():
+    sch = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2, min_lr=0.1)
+    sch.step(10.0)           # new best
+    for _ in range(2):
+        sch.step(10.0)       # bad x2 (== patience, not yet > patience)
+    assert sch.lr == 1.0
+    sch.step(10.0)           # 3rd bad epoch -> reduce
+    assert sch.lr == 0.5
+    # min_lr floor
+    for _ in range(20):
+        sch.step(10.0)
+    assert sch.lr >= 0.1
