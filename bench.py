@@ -41,9 +41,16 @@ def bench_tpu() -> float:
     from protein_ensemble_vae_tpu.train.training import (create_train_state,
                                                          make_train_step)
 
-    cfg = ModelConfig(seqemb_dim=SEQD)
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
-        else jnp.float32
+    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    # Fused Pallas band kernel (BENCH_PALLAS=1): 1.8x over the XLA band path
+    # in isolation (16.4ms vs 30.3ms decoder fwd+bwd at B4/L256 bf16), but at
+    # the full-step level XLA's whole-graph fusion reaches parity (944 vs 921
+    # samples/s), so the default stays on the XLA path.
+    use_pallas = (jax.default_backend() == "tpu"
+                  and os.environ.get("BENCH_PALLAS", "0") == "1"
+                  and dtype_name == "bf16")
+    cfg = ModelConfig(seqemb_dim=SEQD, use_pallas_egnn=use_pallas)
     model = HierCVAE(cfg, dtype=dtype)
     rng = np.random.default_rng(0)
     conf = dict(

@@ -37,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-T = 64  # receiver/sender tile (all length buckets are multiples of 64)
+def _tile(L: int) -> int:
+    """Receiver/sender tile: 128 rows when possible (full MXU sublanes),
+    64 otherwise (all length buckets are multiples of 64)."""
+    return 128 if L % 128 == 0 else 64
 
 
 def _interpret() -> bool:
@@ -53,6 +56,7 @@ def _dsilu(x):
     return s * (1.0 + x * (1.0 - s))
 
 
+
 def _mm(a, b, precision=None):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
@@ -63,9 +67,14 @@ def _mm(a, b, precision=None):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _win(ref, t0, n):
+    """Aligned window load: rows [t0, t0+n) of a W-padded ref."""
+    return ref[0, pl.ds(t0, n), :]
+
+
 def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
                 w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref, b_x1_ref, w_x2_ref,
-                b_x2_ref, agg_ref, delta_ref, *, K, W, precision):
+                b_x2_ref, agg_ref, delta_ref, *, K, W, T, precision):
     t = pl.program_id(1)
     t0 = t * T
     a = a_ref[0, pl.ds(t0, T), :]                      # [T, Hd]
@@ -79,33 +88,45 @@ def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
     w_x2 = w_x2_ref[...]                               # [Hd, 1]
     b_x2 = b_x2_ref[...][0, 0]
 
-    def body(k, carry):
+    # Band offsets processed in groups of 8: per group one aligned dynamic
+    # window load (start provably 8-aligned), then a static 8-wide inner
+    # unroll over value slices. Bounds VMEM stack at 8 live edge chains.
+    Hd = a.shape[-1]
+    n_groups = (K + 7) // 8
+
+    def group(k8, carry):
         acc_agg, acc_delta = carry
-        bs_j = bs_pad_ref[0, pl.ds(t0 + k, T), :]
-        x_j = x_pad_ref[0, pl.ds(t0 + k, T), :]
-        cm_j = cm_pad_ref[0, pl.ds(t0 + k, T), :]
-        valid = cm_i * cm_j * jnp.where(k == W, 0.0, 1.0)   # [T, 1]
+        g0 = pl.multiple_of(k8 * 8, 8)
+        wbs = bs_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        for r in range(8):
+            k = g0 + r                                  # traced offset
+            keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
+            bs_j = jax.lax.slice_in_dim(wbs, r, r + T, axis=0)
+            x_j = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
+            cm_j = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
+            valid = cm_i * cm_j * keep                  # [T, 1]
 
-        rel = x_i - x_j
-        d2 = jnp.sum(rel * rel, axis=-1, keepdims=True)
-        pre = a + bs_j + d2 * w_d[None, :]
-        m1 = _silu(pre)
-        u = _mm(m1, w_e2, precision) + b_e2[None, :]
-        m = _silu(u)
-        acc_agg = acc_agg + m * valid
+            rel = x_i - x_j
+            d2 = jnp.sum(rel * rel, axis=-1, keepdims=True)
+            pre = a + bs_j + d2 * w_d[None, :]
+            m1 = _silu(pre)
+            u = _mm(m1, w_e2, precision) + b_e2[None, :]
+            m = _silu(u)
+            acc_agg = acc_agg + m * valid
 
-        v = _mm(m, w_x1, precision) + b_x1[None, :]
-        w1 = _silu(v)
-        wsc = _mm(w1, w_x2, precision) + b_x2          # [T, 1]
-        acc_delta = acc_delta + (wsc * valid) * rel
+            v = _mm(m, w_x1, precision) + b_x1[None, :]
+            w1 = _silu(v)
+            wsc = _mm(w1, w_x2, precision) + b_x2       # [T, 1]
+            acc_delta = acc_delta + (wsc * valid) * rel
         return acc_agg, acc_delta
 
-    Hd = a.shape[-1]
-    agg, delta = jax.lax.fori_loop(
-        0, K, body, (jnp.zeros((T, Hd), jnp.float32),
-                     jnp.zeros((T, 3), jnp.float32)))
-    agg_ref[0, pl.ds(t0, T), :] = agg
-    delta_ref[0, pl.ds(t0, T), :] = delta
+    acc_agg, acc_delta = jax.lax.fori_loop(
+        0, n_groups, group, (jnp.zeros((T, Hd), jnp.float32),
+                             jnp.zeros((T, 3), jnp.float32)))
+    agg_ref[0, pl.ds(t0, T), :] = acc_agg
+    delta_ref[0, pl.ds(t0, T), :] = acc_delta
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +177,7 @@ def _bwd_recv_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
                      w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref, b_x1_ref,
                      w_x2_ref, b_x2_ref, g_agg_ref, g_delta_ref,
                      da_ref, dx_ref, dwd_ref, dwe2_ref, dbe2_ref, dwx1_ref,
-                     dbx1_ref, dwx2_ref, dbx2_ref, *, K, W, precision):
+                     dbx1_ref, dwx2_ref, dbx2_ref, *, K, W, T, precision):
     b = pl.program_id(0)
     t = pl.program_id(1)
     t0 = t * T
@@ -174,28 +195,42 @@ def _bwd_recv_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
     b_x2 = b_x2_ref[...][0, 0]
 
     Hd = a.shape[-1]
+    n_groups = (K + 7) // 8
 
-    def body(k, carry):
+    def group(k8, carry):
         da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2 = carry
-        bs_j = bs_pad_ref[0, pl.ds(t0 + k, T), :]
-        x_j = x_pad_ref[0, pl.ds(t0 + k, T), :]
-        cm_j = cm_pad_ref[0, pl.ds(t0 + k, T), :]
-        valid = cm_i * cm_j * jnp.where(k == W, 0.0, 1.0)
-        cot_pre, d_rel, wg = _edge_chain_cotangents(
-            a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1, w_x2,
-            b_x2, g_agg, g_delta, precision)
-        return (da + cot_pre, dx + d_rel,
-                g_wd + wg["w_d"], g_we2 + wg["w_e2"], g_be2 + wg["b_e2"],
-                g_wx1 + wg["w_x1"], g_bx1 + wg["b_x1"], g_wx2 + wg["w_x2"],
-                g_bx2 + wg["b_x2"])
+        g0 = pl.multiple_of(k8 * 8, 8)
+        wbs = bs_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        for r in range(8):
+            k = g0 + r
+            keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
+            bs_j = jax.lax.slice_in_dim(wbs, r, r + T, axis=0)
+            x_j = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
+            cm_j = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
+            valid = cm_i * cm_j * keep
+            cot_pre, d_rel, wg = _edge_chain_cotangents(
+                a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1,
+                w_x2, b_x2, g_agg, g_delta, precision)
+            da = da + cot_pre
+            dx = dx + d_rel
+            g_wd = g_wd + wg["w_d"]
+            g_we2 = g_we2 + wg["w_e2"]
+            g_be2 = g_be2 + wg["b_e2"]
+            g_wx1 = g_wx1 + wg["w_x1"]
+            g_bx1 = g_bx1 + wg["b_x1"]
+            g_wx2 = g_wx2 + wg["w_x2"]
+            g_bx2 = g_bx2 + wg["b_x2"]
+        return (da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2)
 
     init = (jnp.zeros((T, Hd), jnp.float32), jnp.zeros((T, 3), jnp.float32),
             jnp.zeros((1, Hd), jnp.float32), jnp.zeros((Hd, Hd), jnp.float32),
             jnp.zeros((1, Hd), jnp.float32), jnp.zeros((Hd, Hd), jnp.float32),
             jnp.zeros((1, Hd), jnp.float32), jnp.zeros((Hd, 1), jnp.float32),
             jnp.zeros((1, 1), jnp.float32))
-    da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2 = (
-        jax.lax.fori_loop(0, K, body, init))
+    (da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2) = (
+        jax.lax.fori_loop(0, n_groups, group, init))
 
     da_ref[0, pl.ds(t0, T), :] = da
     dx_ref[0, pl.ds(t0, T), :] = dx
@@ -224,12 +259,11 @@ def _bwd_recv_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
 def _bwd_send_kernel(a_pad_ref, bs_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
                      w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref, b_x1_ref,
                      w_x2_ref, b_x2_ref, g_agg_pad_ref, g_delta_pad_ref,
-                     dbs_ref, dxs_ref, *, K, W, precision):
+                     dbs_ref, dxs_ref, *, K, W, T, precision):
     """Sender-centric sweep: for sender tile j, receivers i = j + W - k.
 
     All receiver-side arrays (a, x, cmask, cotangents) come zero-padded by
-    W on each side; slice start for offset k is t0 + (2W - k) in padded
-    coordinates.
+    W on each side; static window slice start for offset k is 2W - k.
     """
     t = pl.program_id(1)
     t0 = t * T
@@ -245,25 +279,36 @@ def _bwd_send_kernel(a_pad_ref, bs_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
     b_x2 = b_x2_ref[...][0, 0]
 
     Hd = bs_j.shape[-1]
+    n_groups = (K + 7) // 8
 
-    def body(k, carry):
+    def group(o8, carry):
         dbs, dxs = carry
-        start = t0 + (2 * W - k)
-        a_i = a_pad_ref[0, pl.ds(start, T), :]
-        x_i = x_pad_ref[0, pl.ds(start, T), :]
-        cm_i = cm_pad_ref[0, pl.ds(start, T), :]
-        g_agg = g_agg_pad_ref[0, pl.ds(start, T), :]
-        g_delta = g_delta_pad_ref[0, pl.ds(start, T), :]
-        valid = cm_i * cm_j * jnp.where(k == W, 0.0, 1.0)
-        cot_pre, d_rel, _ = _edge_chain_cotangents(
-            a_i, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1, w_x2,
-            b_x2, g_agg, g_delta, precision)
-        # sender receives cot_pre through bs_j and -d_rel through x_j
-        return dbs + cot_pre, dxs - d_rel
+        g0 = pl.multiple_of(o8 * 8, 8)
+        wa = a_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wga = g_agg_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wgd = g_delta_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        for r in range(8):
+            o = g0 + r                # receiver offset; edge k = 2W - o
+            keep = jnp.where((o != W) & (o < K), 1.0, 0.0)
+            a_i = jax.lax.slice_in_dim(wa, r, r + T, axis=0)
+            x_i = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
+            cm_i = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
+            g_agg = jax.lax.slice_in_dim(wga, r, r + T, axis=0)
+            g_delta = jax.lax.slice_in_dim(wgd, r, r + T, axis=0)
+            valid = cm_i * cm_j * keep
+            cot_pre, d_rel, _ = _edge_chain_cotangents(
+                a_i, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1,
+                w_x2, b_x2, g_agg, g_delta, precision)
+            # sender receives cot_pre through bs_j and -d_rel through x_j
+            dbs = dbs + cot_pre
+            dxs = dxs - d_rel
+        return dbs, dxs
 
     dbs, dxs = jax.lax.fori_loop(
-        0, K, body, (jnp.zeros((T, Hd), jnp.float32),
-                     jnp.zeros((T, 3), jnp.float32)))
+        0, n_groups, group, (jnp.zeros((T, Hd), jnp.float32),
+                             jnp.zeros((T, 3), jnp.float32)))
     dbs_ref[0, pl.ds(t0, T), :] = dbs
     dxs_ref[0, pl.ds(t0, T), :] = dxs
 
@@ -273,7 +318,8 @@ def _bwd_send_kernel(a_pad_ref, bs_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
 # ---------------------------------------------------------------------------
 
 def _pad_w(x, W):
-    return jnp.pad(x, ((0, 0), (W, W)) + ((0, 0),) * (x.ndim - 2))
+    # front W; back W+8 so the last 8-group's T+8 window stays in bounds
+    return jnp.pad(x, ((0, 0), (W, W + 8)) + ((0, 0),) * (x.ndim - 2))
 
 
 def _full_specs(shapes):
@@ -306,7 +352,7 @@ def egnn_band_fused(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2,
 
 def _prep(a, bs, x, cmask, W):
     B, L, Hd = a.shape
-    assert L % T == 0, f"L={L} must be a multiple of {T}"
+    assert L % 64 == 0, f"L={L} must be a multiple of 64"
     cm = cmask.astype(jnp.float32)[..., None]
     return dict(
         bs_pad=_pad_w(bs.astype(jnp.float32), W),
@@ -330,10 +376,11 @@ def _fused_fwd(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, W, prec
     p = _prep(a, bs, x, cmask, W)
     B, L, Hd = p["B"], p["L"], p["Hd"]
     K = 2 * W + 1
-    Lp = L + 2 * W
+    Lp = L + 2 * W + 8
+    T = _tile(L)
     params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2)
 
-    kern = functools.partial(_fwd_kernel, K=K, W=W, precision=precision)
+    kern = functools.partial(_fwd_kernel, K=K, W=W, T=T, precision=precision)
     agg, delta = pl.pallas_call(
         kern,
         grid=(B, L // T),
@@ -362,12 +409,13 @@ def _fused_bwd(W, precision, res, cots):
     p = _prep(a, bs, x, cmask, W)
     B, L, Hd = p["B"], p["L"], p["Hd"]
     K = 2 * W + 1
-    Lp = L + 2 * W
+    Lp = L + 2 * W + 8
+    T = _tile(L)
     params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2)
     g_agg = g_agg.astype(jnp.float32)
     g_delta = g_delta.astype(jnp.float32)
 
-    recv = functools.partial(_bwd_recv_kernel, K=K, W=W, precision=precision)
+    recv = functools.partial(_bwd_recv_kernel, K=K, W=W, T=T, precision=precision)
     da, dx_r, dwd, dwe2, dbe2, dwx1, dbx1, dwx2, dbx2 = pl.pallas_call(
         recv,
         grid=(B, L // T),
@@ -397,7 +445,7 @@ def _fused_bwd(W, precision, res, cots):
     )(p["a"], p["bs_pad"], p["x"], p["x_pad"], p["cm"], p["cm_pad"],
       *params, g_agg, g_delta)
 
-    send = functools.partial(_bwd_send_kernel, K=K, W=W, precision=precision)
+    send = functools.partial(_bwd_send_kernel, K=K, W=W, T=T, precision=precision)
     dbs, dx_s = pl.pallas_call(
         send,
         grid=(B, L // T),
