@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "cross-PDB conformational ensembles (TPU-native)")
     ap.add_argument("--manifest_train", required=True)
     ap.add_argument("--manifest_val", required=True)
+    ap.add_argument("--config", default=None,
+                    help="JSON preset (see configs/): model/loss/train "
+                         "sections applied as defaults before CLI flags")
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--lr", type=float, default=3e-5)
@@ -92,7 +95,20 @@ def main(argv=None):
     from protein_ensemble_vae_tpu.train.checkpoint import save_checkpoint
     from protein_ensemble_vae_tpu.utils import MetricLogger
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.config:
+        # preset JSON provides defaults; explicit CLI flags win
+        import json
+        with open(args.config) as f:
+            preset = json.load(f)
+        flat = {}
+        for section in ("model", "loss", "train"):
+            flat.update(preset.get(section, {}))
+        defaults = {k: v for k, v in flat.items() if hasattr(args, k)}
+        parser.set_defaults(**defaults)
+        args = parser.parse_args(argv)
 
     train_ds = EnsembleDataset(args.manifest_train, use_seqemb=args.use_seqemb,
                                verbose=True)

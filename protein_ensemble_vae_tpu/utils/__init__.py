@@ -1,1 +1,2 @@
 from protein_ensemble_vae_tpu.utils.logging import MetricLogger  # noqa: F401
+from protein_ensemble_vae_tpu.utils.seeding import set_seed  # noqa: F401
