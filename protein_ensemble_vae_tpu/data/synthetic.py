@@ -33,6 +33,41 @@ def helix_backbone(L: int, rise: float = 1.5, radius: float = 2.3,
     return (n.astype(np.float32), ca.astype(np.float32), c.astype(np.float32))
 
 
+def compact_backbone(L: int, seed: int = 0
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact globular-like backbone: a helix wound around a slow random
+    walk so Rg ~ 2.2 L^0.38 instead of an extended rod. More realistic
+    reconstruction difficulty for convergence tests."""
+    rng = np.random.default_rng(seed)
+    # smooth random-walk axis with bounded extent
+    steps = rng.normal(0, 1, (L, 3))
+    for _ in range(3):
+        steps[1:] = 0.7 * steps[1:] + 0.3 * steps[:-1]  # smooth
+    axis = np.cumsum(steps, axis=0)
+    axis -= axis.mean(axis=0)
+    target_rg = 2.2 * (L ** 0.38)
+    rg = np.sqrt((axis ** 2).sum(-1).mean())
+    axis *= 0.8 * target_rg / max(rg, 1e-6)
+    # local helical decoration at CA-CA ~ 3.8 A spacing along the path
+    t = np.arange(L) * 100.0 * np.pi / 180.0
+    ca = axis + np.stack([2.3 * np.cos(t), 2.3 * np.sin(t),
+                          np.zeros(L)], -1)
+    # renormalize consecutive CA spacing toward 3.8 A
+    for _ in range(8):
+        d = np.diff(ca, axis=0)
+        norm = np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+        d = d * (0.5 + 0.5 * 3.8 / norm)
+        ca = np.concatenate([ca[:1], ca[:1] + np.cumsum(d, axis=0)], axis=0)
+    tang = np.gradient(ca, axis=0)
+    tang /= np.linalg.norm(tang, axis=-1, keepdims=True) + 1e-9
+    ref = np.array([0.12, 0.85, 0.51])
+    side = np.cross(tang, ref)
+    side /= np.linalg.norm(side, axis=-1, keepdims=True) + 1e-9
+    n = ca - 1.46 * (0.8 * tang + 0.6 * side)
+    c = ca + 1.52 * (0.8 * tang - 0.6 * side)
+    return (n.astype(np.float32), ca.astype(np.float32), c.astype(np.float32))
+
+
 def _torsions_np(n, ca, c, mask):
     """Host-side torsion computation (numpy port of ops.geometry)."""
     import jax.numpy as jnp
@@ -46,12 +81,17 @@ def _torsions_np(n, ca, c, mask):
 
 def write_synthetic_h5(path: str, K: int = 5, L: int = 64, seed: int = 0,
                        noise: float = 0.3, seqemb_dim: Optional[int] = None,
-                       mask_holes: Sequence[int] = ()) -> str:
-    """Write one synthetic protein ensemble H5 with the reference schema."""
+                       mask_holes: Sequence[int] = (),
+                       fold: str = "helix") -> str:
+    """Write one synthetic protein ensemble H5 with the reference schema.
+    fold: "helix" (extended rod) or "compact" (globular-like Rg)."""
     import h5py
 
     rng = np.random.default_rng(seed)
-    n0, ca0, c0 = helix_backbone(L)
+    if fold == "compact":
+        n0, ca0, c0 = compact_backbone(L, seed=seed)
+    else:
+        n0, ca0, c0 = helix_backbone(L)
     mask = np.ones(L, np.float32)
     for h in mask_holes:
         mask[h] = 0.0
@@ -93,14 +133,16 @@ def write_synthetic_h5(path: str, K: int = 5, L: int = 64, seed: int = 0,
 def make_synthetic_dataset(root: str, n_proteins: int = 2, K: int = 4,
                            lengths: Sequence[int] = (48, 64),
                            seqemb_dim: Optional[int] = 32,
-                           seed: int = 0) -> tuple[str, str]:
+                           seed: int = 0, fold: str = "helix",
+                           noise: float = 0.3) -> tuple[str, str]:
     """Write n_proteins H5 files + train/val manifests; returns their paths."""
     os.makedirs(root, exist_ok=True)
     h5_paths = []
     for i in range(n_proteins):
         L = lengths[i % len(lengths)]
         p = os.path.join(root, f"syn{i:03d}_nmr.h5")
-        write_synthetic_h5(p, K=K, L=L, seed=seed + i, seqemb_dim=seqemb_dim)
+        write_synthetic_h5(p, K=K, L=L, seed=seed + i, seqemb_dim=seqemb_dim,
+                           fold=fold, noise=noise)
         h5_paths.append(p)
 
     train_csv = os.path.join(root, "manifest_train.csv")

@@ -137,8 +137,47 @@ def analyze_structure(ensemble_pdb: str, true_pdb: Optional[str] = None,
     return result
 
 
+def plot_structure_diagnostics(result: dict, ens: dict, out_prefix: str
+                               ) -> Optional[str]:
+    """Optional plots: Ramachandran scatter + ensemble RMSD heatmap
+    (reference analyze_ensemble.py:295-339,371-394). Matplotlib-guarded."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
+    mask = ens["mask"]
+    phis, psis = [], []
+    for k in range(ens["ca"].shape[0]):
+        phi, psi, v = phi_psi_from_backbone(ens["n"][k], ens["ca"][k],
+                                            ens["c"][k], mask)
+        phis.append(np.degrees(phi[v]))
+        psis.append(np.degrees(psi[v]))
+    axes[0].scatter(np.concatenate(phis), np.concatenate(psis), s=4,
+                    alpha=0.5)
+    axes[0].set_xlim(-180, 180)
+    axes[0].set_ylim(-180, 180)
+    axes[0].axhline(0, color="gray", lw=0.5)
+    axes[0].axvline(0, color="gray", lw=0.5)
+    axes[0].set_xlabel("phi (deg)")
+    axes[0].set_ylabel("psi (deg)")
+    axes[0].set_title("Ramachandran")
+
+    im = axes[1].imshow(result["rmsd_matrix"], cmap="viridis")
+    fig.colorbar(im, ax=axes[1], label="RMSD (A)")
+    axes[1].set_title("ensemble pairwise RMSD")
+    fig.tight_layout()
+    path = out_prefix + "_diagnostics.png"
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    return path
+
+
 def analyze_directory(pdb_dir: str, output_path: Optional[str] = None,
-                      verbose: bool = True) -> dict:
+                      verbose: bool = True, plots: bool = True) -> dict:
     """Analyze all ``*_ensemble.pdb`` files in a directory; write the
     aggregate + detailed text report (reference analyze_ensemble.py:500-529)."""
     ensembles = sorted(glob.glob(os.path.join(pdb_dir, "*_ensemble.pdb")))
@@ -150,6 +189,10 @@ def analyze_directory(pdb_dir: str, output_path: Optional[str] = None,
         base = ep[:-len("_ensemble.pdb")]
         r = analyze_structure(ep, true_pdb=base + "_true.pdb",
                               recon_pdb=base + "_reconstruction.pdb")
+        if plots:
+            png = plot_structure_diagnostics(r, read_pdb_backbone(ep), base)
+            if png:
+                r["diagnostics_png"] = png
         results.append(r)
         if verbose:
             print(f"[analyze] {os.path.basename(ep)}: "

@@ -220,8 +220,11 @@ class ProteinEncoder(nn.Module):
             dropout=self.dropout, dtype=self.dtype)
 
     def reparam(self, mu: Array, lv: Array) -> Array:
+        # lv clamped to +-10 inside the exp only (KL still sees the raw
+        # value and pulls it back): sigma in [e^-5, e^5] bounds z so a
+        # transient logvar spike cannot blow up the decoder's coordinates.
         eps = jax.random.normal(self.make_rng("reparam"), mu.shape, mu.dtype)
-        return mu + eps * jnp.exp(0.5 * lv)
+        return mu + eps * jnp.exp(0.5 * jnp.clip(lv, -10.0, 10.0))
 
     def __call__(self, seqemb: Array, n_coords: Array, ca_coords: Array,
                  c_coords: Array, dihedrals: Array, mask: Array,

@@ -46,11 +46,17 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(grad_clip: float = 10.0) -> optax.GradientTransformation:
     """clip-by-global-norm + Adam moments; the LR is applied separately as a
-    traced scalar (see ``make_train_step``)."""
-    return optax.chain(
+    traced scalar (see ``make_train_step``).
+
+    Wrapped in ``apply_if_finite``: a step whose gradients contain inf/NaN
+    (e.g. a transient coordinate blow-up overflowing the global norm) is
+    skipped instead of poisoning the parameters — the reference aborts the
+    whole run on the same event (training.py:136-146)."""
+    inner = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.scale_by_adam(),
     )
+    return optax.apply_if_finite(inner, max_consecutive_errors=100)
 
 
 def create_train_state(model: HierCVAE, rng: Array, sample_batch: dict,
@@ -150,6 +156,7 @@ def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
               seqemb_dim: int) -> tuple[TrainState, dict[str, float]]:
     """One epoch. Metric sums stay on device; one host fetch at the end."""
     sums: Optional[dict] = None
+    weight_sum = None
     n = 0
     klw_g = jnp.asarray(klw_g, jnp.float32)
     klw_l = jnp.asarray(klw_l, jnp.float32)
@@ -162,17 +169,26 @@ def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
         state, metrics = step_fn(state, batch,
                                  jax.random.fold_in(rng, batch_idx),
                                  klw_g, klw_l, lr)
-        weighted = jax.tree.map(lambda m: m * bs, metrics)
+        # a non-finite step is skipped by the optimizer (apply_if_finite);
+        # exclude it from the epoch statistics too, all on device
+        finite = jnp.isfinite(metrics["loss"]).astype(jnp.float32)
+        w = finite * bs
+        weighted = jax.tree.map(
+            lambda m: jnp.where(jnp.isfinite(m), m, 0.0) * w, metrics)
         sums = weighted if sums is None else jax.tree.map(
             jnp.add, sums, weighted)
+        weight_sum = w if weight_sum is None else weight_sum + w
         n += bs
     if sums is None:
         raise RuntimeError("empty epoch: no batches produced")
-    host = jax.device_get(sums)
-    stats = {k: float(v) / n for k, v in host.items()}
-    if not np.isfinite(stats["loss"]):
+    host = jax.device_get((sums, weight_sum))
+    n_valid = float(host[1])
+    if n_valid <= 0 or n_valid < 0.5 * n:
         raise ValueError(
-            f"Training collapsed - NaN/Inf loss detected (epoch stats: {stats})")
+            "Training collapsed - NaN/Inf loss in most steps of the epoch "
+            f"({n - n_valid:.0f}/{n} samples non-finite)")
+    stats = {k: float(v) / n_valid for k, v in host[0].items()}
+    stats["nonfinite_frac"] = (n - n_valid) / n
     return state, stats
 
 

@@ -145,3 +145,59 @@ def test_reduce_lr_on_plateau_torch_semantics():
     for _ in range(20):
         sch.step(10.0)
     assert sch.lr >= 0.1
+
+
+def test_run_epoch_skips_nonfinite_steps(tiny_run):
+    """A non-finite step must be excluded from epoch stats, not poison them
+    (apply_if_finite skips the update; run_epoch skips the accumulation)."""
+    import jax.numpy as jnp
+    from protein_ensemble_vae_tpu.train.training import run_epoch
+
+    model, cfg, state, history, root = tiny_run
+
+    calls = {"n": 0}
+
+    def fake_step(state, batch, rng, klw_g, klw_l, lr):
+        calls["n"] += 1
+        bad = calls["n"] == 2
+        val = jnp.where(bad, jnp.nan, 1.0)
+        metrics = {k: val for k in
+                   ("loss", "rec", "pair", "klg", "kll", "dihedral", "rama",
+                    "bond", "angle", "seq", "seq_acc", "clash", "grad_norm",
+                    "rec_ca")}
+        return state, metrics
+
+    from protein_ensemble_vae_tpu.data import EnsembleDataset, make_epoch_batches
+    train_csv = root + "/manifest_train.csv"
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    batches = list(make_epoch_batches(ds, 1, (16,), False, 0))[:3]
+    _, stats = run_epoch(state, fake_step, batches, jax.random.PRNGKey(0),
+                         0.0, 0.0, 1e-4, 16)
+    assert stats["loss"] == 1.0           # NaN step excluded
+    assert 0 < stats["nonfinite_frac"] < 1
+
+
+def test_compact_backbone_geometry():
+    from protein_ensemble_vae_tpu.data.synthetic import compact_backbone
+
+    n, ca, c = compact_backbone(64, seed=3)
+    d = np.linalg.norm(np.diff(ca, axis=0), axis=-1)
+    assert 3.6 < d.mean() < 4.0
+    rg = np.sqrt(((ca - ca.mean(0)) ** 2).sum(-1).mean())
+    assert rg < 20  # compact, not an extended rod
+
+
+def test_config_presets_load():
+    import glob
+    import json
+
+    from protein_ensemble_vae_tpu.config import (LossWeights, ModelConfig,
+                                                 TrainConfig)
+
+    presets = glob.glob("configs/*.json")
+    assert len(presets) >= 5
+    for p in presets:
+        d = json.load(open(p))
+        ModelConfig.from_dict(d["model"])
+        LossWeights.from_dict(d["loss"])
+        TrainConfig.from_dict(d["train"])
