@@ -155,14 +155,16 @@ def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
               rng: Array, klw_g: float, klw_l: float, lr: float,
               seqemb_dim: int) -> tuple[TrainState, dict[str, float]]:
     """One epoch. Metric sums stay on device; one host fetch at the end."""
+    from protein_ensemble_vae_tpu.data.prefetch import prefetch_to_device
+
     sums: Optional[dict] = None
     weight_sum = None
     n = 0
     klw_g = jnp.asarray(klw_g, jnp.float32)
     klw_l = jnp.asarray(klw_l, jnp.float32)
     lr = jnp.asarray(lr, jnp.float32)
-    for batch_idx, pair_batch in enumerate(batches):
-        batch = _batch_to_arrays(pair_batch, seqemb_dim)
+    converted = (_batch_to_arrays(pb, seqemb_dim) for pb in batches)
+    for batch_idx, batch in enumerate(prefetch_to_device(converted, size=2)):
         bs = batch["tgt"]["ca"].shape[0]
         # fold in the batch index so eval batches (which don't advance
         # state.step) still draw fresh reparameterization noise
