@@ -258,13 +258,17 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
         lr = plateau.lr
 
         rng, tr_rng, va_rng = jax.random.split(rng, 3)
+        # dp-sharded batches need a batch dim divisible by the mesh; drop
+        # trailing partial batches then (documented in DEVIATIONS.md)
+        drop = tcfg.dp > 1
         tr_batches = make_epoch_batches(
             train_ds, tcfg.batch_size, tcfg.bucket_sizes, True,
-            tcfg.seed + epoch)
+            tcfg.seed + epoch, drop_remainder=drop)
         state, tr = run_epoch(state, train_step, tr_batches, tr_rng,
                               klw_g, klw_l, lr, seqemb_dim)
         va_batches = make_epoch_batches(
-            val_ds, tcfg.batch_size, tcfg.bucket_sizes, False, tcfg.seed)
+            val_ds, tcfg.batch_size, tcfg.bucket_sizes, False, tcfg.seed,
+            drop_remainder=drop)
         _, va = run_epoch(state, eval_step, va_batches, va_rng,
                           klw_g, klw_l, lr, seqemb_dim)
 
