@@ -73,24 +73,28 @@ from protein_ensemble_vae_tpu.ops.pallas.egnn_band import egnn_band_fused
 
 def _band_reference(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2,
                     b_x2, W):
-    """Plain-jnp reference of the fused kernel's math."""
+    """Plain-jnp reference of the fused kernel's math.
+
+    Runs under HIGHEST matmul precision: on real TPU the default is bf16
+    MXU passes, and the kernel under test is invoked with HIGHEST."""
     from protein_ensemble_vae_tpu.models.decoder import band_indices, band_gather
 
     B, L, Hd = a.shape
-    nbr_idx, in_range = band_indices(L, W)
-    cm = cmask.astype(bool)
-    nbr_valid = (in_range[None] & cm[:, :, None] & cm[:, nbr_idx])
-    mask_k = nbr_valid.astype(jnp.float32)[..., None]
-    x_j = band_gather(x, nbr_idx)
-    rel = x[:, :, None, :] - x_j
-    d2 = jnp.sum(rel ** 2, -1, keepdims=True)
-    pre = a[:, :, None, :] + band_gather(bs, nbr_idx) + d2 * w_d
-    m = jax.nn.silu(pre)
-    m = jax.nn.silu(m @ w_e2 + b_e2)
-    agg = jnp.sum(m * mask_k, axis=2)
-    w = jax.nn.silu(m @ w_x1 + b_x1) @ w_x2 + b_x2
-    delta = jnp.sum((w * mask_k) * rel, axis=2)
-    return agg, delta
+    with jax.default_matmul_precision("highest"):
+        nbr_idx, in_range = band_indices(L, W)
+        cm = cmask.astype(bool)
+        nbr_valid = (in_range[None] & cm[:, :, None] & cm[:, nbr_idx])
+        mask_k = nbr_valid.astype(jnp.float32)[..., None]
+        x_j = band_gather(x, nbr_idx)
+        rel = x[:, :, None, :] - x_j
+        d2 = jnp.sum(rel ** 2, -1, keepdims=True)
+        pre = a[:, :, None, :] + band_gather(bs, nbr_idx) + d2 * w_d
+        m = jax.nn.silu(pre)
+        m = jax.nn.silu(m @ w_e2 + b_e2)
+        agg = jnp.sum(m * mask_k, axis=2)
+        w = jax.nn.silu(m @ w_x1 + b_x1) @ w_x2 + b_x2
+        delta = jnp.sum((w * mask_k) * rel, axis=2)
+        return agg, delta
 
 
 def _egnn_inputs(rng, B=2, L=64, Hd=8, W=4):
@@ -138,9 +142,10 @@ def test_egnn_fused_grad_parity(rng):
         return jnp.sum(agg * ct_agg) + jnp.sum(delta * ct_delta)
 
     def loss_r(a, bs, x, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2):
-        agg, delta = _band_reference(a, bs, x, cmask, w_d, w_e2, b_e2,
-                                     w_x1, b_x1, w_x2, b_x2, W)
-        return jnp.sum(agg * ct_agg) + jnp.sum(delta * ct_delta)
+        with jax.default_matmul_precision("highest"):
+            agg, delta = _band_reference(a, bs, x, cmask, w_d, w_e2, b_e2,
+                                         w_x1, b_x1, w_x2, b_x2, W)
+            return jnp.sum(agg * ct_agg) + jnp.sum(delta * ct_delta)
 
     args = (a, bs, x, p["w_d"], p["w_e2"], p["b_e2"], p["w_x1"], p["b_x1"],
             p["w_x2"], p["b_x2"])
@@ -170,10 +175,12 @@ def test_egnn_layer_pallas_path_matches_xla(rng):
     xla_layer = EGNNBandLayer(hidden=H, use_pallas=False)
     params = xla_layer.init(jax.random.PRNGKey(0), h, x, nbr_idx, nbr_valid,
                             deg_inv, cmask)
-    h1, x1 = xla_layer.apply(params, h, x, nbr_idx, nbr_valid, deg_inv, cmask)
-    pallas_layer = EGNNBandLayer(hidden=H, use_pallas=True)
-    h2, x2 = pallas_layer.apply(params, h, x, nbr_idx, nbr_valid, deg_inv,
-                                cmask)
+    with jax.default_matmul_precision("highest"):
+        h1, x1 = xla_layer.apply(params, h, x, nbr_idx, nbr_valid, deg_inv,
+                                 cmask)
+        pallas_layer = EGNNBandLayer(hidden=H, use_pallas=True)
+        h2, x2 = pallas_layer.apply(params, h, x, nbr_idx, nbr_valid,
+                                    deg_inv, cmask)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4,
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4,
