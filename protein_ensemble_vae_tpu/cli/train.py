@@ -159,6 +159,8 @@ def main(argv=None):
     jit_wrapper = None
     if args.dp > 1 or args.tp > 1:
         from protein_ensemble_vae_tpu.parallel import make_mesh, make_parallel_jit
+        from protein_ensemble_vae_tpu.parallel.mesh import ensure_cpu_devices
+        ensure_cpu_devices(args.dp * args.tp)
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         jit_wrapper = make_parallel_jit(mesh, use_tp=args.tp > 1)
         logger.info(f"[mesh] dp={args.dp} tp={args.tp}")

@@ -27,6 +27,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ensure_cpu_devices(n: int) -> None:
+    """Best-effort: give the (uninitialized) CPU backend n virtual devices.
+
+    jax 0.9 ignores the legacy --xla_force_host_platform_device_count flag;
+    the supported knob is the ``jax_num_cpu_devices`` config, which must be
+    set before backend initialization. No-op on accelerator backends or
+    after initialization."""
+    import os
+
+    from jax._src import xla_bridge as _xb
+
+    if getattr(_xb, "_backends", {}):
+        return
+    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    try:
+        # quirk: jax_num_cpu_devices only takes effect when jax_platforms is
+        # ALSO set through the config (the env var alone isn't enough)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n)
+    except Exception:
+        pass
+
+
 def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     """Create a (dp, tp) mesh. dp*tp must not exceed available devices."""
     devices = devices if devices is not None else jax.devices()
