@@ -38,7 +38,9 @@ class ModelConfig:
     max_neighbors: int = 40
     degree_normalize: bool = True
     decoder_remat: bool = False     # remat EGNN layers (memory vs FLOPs)
-    use_pallas_egnn: bool = False   # fused Pallas band kernel (TPU hot path)
+    use_pallas_egnn: object = "auto"  # fused band kernel: True|False|"auto"
+                                      # (auto: TPU and L >= 512, where it
+                                      #  measured 2.5x over the XLA path)
     use_seqemb: bool = True
     use_dihedrals: bool = True
     num_aa_types: int = 20

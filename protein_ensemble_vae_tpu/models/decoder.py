@@ -76,8 +76,17 @@ class EGNNBandLayer(nn.Module):
     """
 
     hidden: int
-    use_pallas: bool = False
+    use_pallas: object = False   # True | False | "auto"
     dtype: Dtype = jnp.float32
+
+    def _pallas_enabled(self, L: int) -> bool:
+        """"auto" enables the fused kernel where it measured faster than the
+        XLA band path: long chains (L >= 512, HBM-bound regime) on a real
+        TPU. Short chains / large batches favor XLA whole-graph fusion."""
+        if self.use_pallas == "auto":
+            return (L >= 512 and L % 64 == 0
+                    and jax.default_backend() == "tpu")
+        return bool(self.use_pallas)
 
     @nn.compact
     def __call__(self, h: Array, x: Array, nbr_idx: Array, nbr_valid: Array,
@@ -103,7 +112,7 @@ class EGNNBandLayer(nn.Module):
         a_i = hc @ k_hi.astype(self.dtype) + b_hi.astype(self.dtype)
         b_j = hc @ k_hj.astype(self.dtype)
 
-        if self.use_pallas and cmask is not None:
+        if cmask is not None and self._pallas_enabled(h.shape[1]):
             from protein_ensemble_vae_tpu.ops.pallas.egnn_band import (
                 egnn_band_fused)
 
@@ -168,7 +177,7 @@ class EGNNDecoder(nn.Module):
     remat: bool = False   # jax.checkpoint each EGNN layer: trades ~1 extra
                           # forward for not storing [B, L, K, H] residuals —
                           # needed for long chains (HBM bound, SURVEY §7.3)
-    use_pallas: bool = False  # fused Pallas band kernel for message passing
+    use_pallas: object = False  # fused Pallas band kernel: True|False|"auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
