@@ -313,7 +313,15 @@ def compute_total_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
     loss_bond = bond_length_loss(pred_n, pred_ca, pred_c, mask)
     loss_angle = bond_angle_loss(pred_n, pred_ca, pred_c, mask)
     loss_seq = sequence_classification_loss(pred_seq, target_seq_labels, mask)
-    loss_clash = clash_loss(pred_n, pred_ca, pred_c, mask)
+
+    # Long chains route through the blocked Pallas clash kernel (O(L) memory
+    # instead of a [B, 3L, 3L] matrix); same value to fp32 tolerance.
+    L = mask.shape[1]
+    if L >= 512 and L % 64 == 0 and jax.default_backend() == "tpu":
+        from protein_ensemble_vae_tpu.ops.pallas.clash import clash_loss_pallas
+        loss_clash = clash_loss_pallas(pred_n, pred_ca, pred_c, mask)
+    else:
+        loss_clash = clash_loss(pred_n, pred_ca, pred_c, mask)
 
     total = (weights.w_rec * loss_rec
              + weights.w_pair * loss_pair
