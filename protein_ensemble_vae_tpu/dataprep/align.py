@@ -60,76 +60,130 @@ def _kabsch_rmsd_np(P: np.ndarray, Q: np.ndarray) -> float:
     return float(np.sqrt(((P @ R.T + t - Q) ** 2).sum(-1).mean()))
 
 
-def medoid_index(coords: np.ndarray, mask: np.ndarray) -> int:
-    """Index of the conformer minimizing summed RMSD to all others.
-
-    coords [K, L, 3], mask [K, L]; the fit uses residues valid in *all*
-    models (the reference aligns on shared-valid residues).
-    """
+def pairwise_rmsd_matrix(coords: np.ndarray, mask: np.ndarray,
+                         min_common: int = 8) -> np.ndarray:
+    """K×K Kabsch-RMSD matrix over per-pair common valid residues; NaN for
+    pairs sharing fewer than ``min_common`` residues, 0 diagonal (reference
+    prepare_data.py:25-45, incl. the min_common=8 default)."""
     K = coords.shape[0]
-    if K == 1:
-        return 0
-    shared = (mask > 0.5).all(axis=0)
-    if shared.sum() < 3:
-        return 0
-    X = coords[:, shared]
-    D = np.zeros((K, K), np.float64)
+    valid = mask > 0.5
+    D = np.full((K, K), np.nan, np.float64)
     for i in range(K):
         for j in range(i + 1, K):
-            D[i, j] = D[j, i] = _kabsch_rmsd_np(X[i], X[j])
-    return int(D.sum(axis=1).argmin())
+            common = valid[i] & valid[j]
+            if common.sum() >= min_common:
+                D[i, j] = D[j, i] = _kabsch_rmsd_np(coords[i, common],
+                                                    coords[j, common])
+    np.fill_diagonal(D, 0.0)
+    return D
 
 
-def detect_core(coords_aligned: np.ndarray, shared: np.ndarray,
-                frac: float = 0.5) -> np.ndarray:
-    """Core = the ``frac`` fraction of shared residues with the lowest
-    per-residue positional variance across aligned conformers."""
-    var = coords_aligned.var(axis=0).sum(-1)            # [L]
-    var = np.where(shared, var, np.inf)
-    n_core = max(int(shared.sum() * frac), min(3, int(shared.sum())))
-    order = np.argsort(var)
-    core = np.zeros(coords_aligned.shape[1], bool)
+def medoid_index(coords: np.ndarray, mask: np.ndarray,
+                 min_common: int = 8) -> int:
+    """Medoid conformer = argmin over rows of the nan-mean pairwise RMSD
+    (reference choose_medoid, prepare_data.py:48-59). coords [K, L, 3]."""
+    if coords.shape[0] == 1:
+        return 0
+    D = pairwise_rmsd_matrix(coords, mask, min_common=min_common)
+    with np.errstate(invalid="ignore"):
+        means = np.nanmean(D, axis=1)
+    if np.all(np.isnan(means)):
+        return 0
+    return int(np.nanargmin(means))
+
+
+def _medoid_fits(ca: np.ndarray, mask: np.ndarray, med: int,
+                 use_mask: np.ndarray | None = None
+                 ) -> list[tuple[np.ndarray, np.ndarray] | None]:
+    """Per-model rigid fit (R, t) of CA[k] onto CA[med] over the common valid
+    residues (∩ use_mask); None (identity) when < 3 common residues — the
+    reference's align_to_reference fit rule (prepare_data.py:62-81)."""
+    valid = mask > 0.5
+    fit_ref = valid[med] if use_mask is None else (valid[med] & use_mask)
+    fits: list[tuple[np.ndarray, np.ndarray] | None] = []
+    for k in range(ca.shape[0]):
+        common = fit_ref & valid[k]
+        if common.sum() >= 3:
+            fits.append(_kabsch_rt(ca[k, common], ca[med, common]))
+        else:
+            fits.append(None)
+    return fits
+
+
+def detect_core(coords_aligned: np.ndarray, mask: np.ndarray,
+                core_frac: float = 0.7, min_core_len: int = 30) -> np.ndarray:
+    """Core residues = lowest per-residue nan-variance across aligned models,
+    among residues present in a majority of models; core size =
+    max(min_core_len, ceil(core_frac · n_eligible)) (reference
+    detect_core_mask, prepare_data.py:84-113, incl. the 0.7/30 defaults)."""
+    K, L, _ = coords_aligned.shape
+    valid = mask > 0.5
+    present = valid.sum(axis=0)
+    eligible = present >= (K // 2 + 1)
+    if not eligible.any():
+        return present > 0
+
+    arr = coords_aligned.astype(np.float64).copy()
+    arr[~valid] = np.nan
+    with np.errstate(invalid="ignore"):
+        var_score = np.nansum(np.nanvar(arr, axis=0), axis=1)    # [L]
+
+    idx_eligible = np.where(eligible)[0]
+    n_core = max(min_core_len, int(np.ceil(core_frac * idx_eligible.size)))
+    order = idx_eligible[np.argsort(var_score[idx_eligible])]
+    core = np.zeros(L, bool)
     core[order[:n_core]] = True
     return core
 
 
 def core_fit_align(coords_n: np.ndarray, coords_ca: np.ndarray,
-                   coords_c: np.ndarray, mask: np.ndarray
+                   coords_c: np.ndarray, mask: np.ndarray,
+                   core_frac: float = 0.7, min_core_len: int = 30,
+                   min_common: int = 8
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray]:
-    """Medoid -> align all on shared residues -> detect low-variance core ->
-    realign on core. Returns (n, ca, c, medoid_idx, core_mask)."""
-    K = coords_ca.shape[0]
-    med = medoid_index(coords_ca, mask)
-    shared = (mask > 0.5).all(axis=0)
+    """Medoid -> provisional all-common CA alignment -> low-variance core
+    detection -> final core fit of the *original* coords, applied rigidly to
+    N/CA/C (reference align_core_fit + align_backbone_to_reference,
+    prepare_data.py:116-133,897-922). Returns (n, ca, c, medoid_idx, core)."""
+    med = medoid_index(coords_ca, mask, min_common=min_common)
+
+    # Pass 1 (CA only): provisional alignment on all common residues, used
+    # solely to measure per-residue variance for core detection.
+    ca0 = coords_ca.copy()
+    for k, fit in enumerate(_medoid_fits(coords_ca, mask, med)):
+        if fit is not None:
+            ca0[k] = coords_ca[k] @ fit[0].T + fit[1]
+    core = detect_core(ca0, mask, core_frac=core_frac,
+                       min_core_len=min_core_len)
+
+    # Pass 2: fit the ORIGINAL CA on the core; carry N and C through the same
+    # rigid transform (the reference recomputes from originals, not from the
+    # provisional alignment).
     n, ca, c = coords_n.copy(), coords_ca.copy(), coords_c.copy()
-    if shared.sum() >= 3:
-        # pass 1: align every conformer's shared-CA onto the medoid
-        for k in range(K):
-            if k == med:
-                continue
-            R, t = _kabsch_rt(ca[k][shared], ca[med][shared])
-            for arr in (n, ca, c):
-                arr[k] = arr[k] @ R.T + t
-        # pass 2: core detection + realign
-        core = detect_core(ca, shared)
-        if core.sum() >= 3:
-            for k in range(K):
-                if k == med:
-                    continue
-                R, t = _kabsch_rt(ca[k][core], ca[med][core])
-                for arr in (n, ca, c):
-                    arr[k] = arr[k] @ R.T + t
-    else:
-        core = shared
+    for k, fit in enumerate(_medoid_fits(coords_ca, mask, med, core)):
+        if fit is not None:
+            R, t = fit
+            n[k] = coords_n[k] @ R.T + t
+            ca[k] = coords_ca[k] @ R.T + t
+            c[k] = coords_c[k] @ R.T + t
     return n, ca, c, med, core
 
 
-def compute_rmsf_ensemble(coords_ca: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Per-residue RMSF of the (already aligned) ensemble; invalid -> 0."""
-    valid_any = (mask > 0.5).any(axis=0)
-    mean = coords_ca.mean(axis=0)
-    dev = ((coords_ca - mean) ** 2).sum(-1).mean(axis=0)
-    return np.where(valid_any, np.sqrt(dev), 0.0).astype(np.float32)
+def compute_rmsf_ensemble(coords_ca: np.ndarray, mask: np.ndarray,
+                          use_mask: np.ndarray | None = None) -> np.ndarray:
+    """Per-residue RMSF across (already aligned) models, nan-aware over
+    missing residues; optionally restricted to ``use_mask`` (reference
+    compute_rmsf_core, prepare_data.py:136-155)."""
+    arr = coords_ca.astype(np.float64).copy()
+    valid = mask > 0.5
+    if use_mask is not None:
+        valid = valid & use_mask[None, :]
+    arr[~valid] = np.nan
+    with np.errstate(invalid="ignore"):
+        mean = np.nanmean(arr, axis=0)                           # [L, 3]
+        sq = np.nansum((arr - mean) ** 2, axis=2)                # [K, L]
+        rmsf = np.sqrt(np.nanmean(sq, axis=0))                   # [L]
+    return np.nan_to_num(rmsf).astype(np.float32)
 
 
 def needleman_wunsch(a: str, b: str, gap_open: float = -10.0,

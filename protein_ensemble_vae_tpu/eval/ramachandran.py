@@ -2,13 +2,18 @@
 
 ``phi_psi_from_backbone`` computes true backbone phi/psi from N/CA/C
 (reference ``analyze_ensemble.py:105-147`` uses its own dihedral code; we
-reuse the shared geometry core). ``classify_ramachandran`` buckets residues
-into favored/allowed/outlier. The reference delegates to MDAnalysis's Lovell
-2003 contours (analyze_ensemble.py:150-200); this self-contained
-approximation uses elliptical favored/allowed basins around the canonical
-regions (alpha, beta, left-alpha, PPII) — consistent with the training-time
-Ramachandran loss basins (losses.py:72-131) so train and eval agree on what
-"good" means.
+reuse the shared geometry core).
+
+``classify_ramachandran`` reproduces the reference's classification
+*exactly*: despite the "Lovell et al. 2003" attribution in its docstring, the
+reference classifies with hand-set rectangular regions — MDAnalysis is used
+only to extract the angles (analyze_ensemble.py:150-200; the boxes are at
+:176-190). Same boxes here, vectorized, so favored/allowed/outlier fractions
+are directly comparable with BASELINE.md's quality numbers.
+
+``classify_ramachandran_elliptical`` keeps the round-1 elliptical basins that
+mirror the training-time Ramachandran loss (losses.py:72-131) — useful when
+train/eval agreement on "good" matters more than reference parity.
 """
 
 from __future__ import annotations
@@ -37,7 +42,6 @@ def phi_psi_from_backbone(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
         jnp.array(mask[None])))[0]
     phi = np.arctan2(d[:, 0], d[:, 1])
     psi = np.arctan2(d[:, 2], d[:, 3])
-    L = len(mask)
     valid = mask.astype(bool).copy()
     # phi undefined at first valid residue, psi at last: mark via zero sin/cos
     sin_cos_mag = (d[:, 0] ** 2 + d[:, 1] ** 2) * (d[:, 2] ** 2 + d[:, 3] ** 2)
@@ -45,14 +49,50 @@ def phi_psi_from_backbone(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
     return phi, psi, valid
 
 
+def classify_ramachandran(phi: np.ndarray, psi: np.ndarray,
+                          valid: np.ndarray) -> dict:
+    """Fraction of residues favored / allowed / outlier — the reference's
+    rectangular regions (analyze_ensemble.py:176-190), evaluated in degrees:
+
+    favored:  alpha  (-90 ≤ φ ≤ -30, -77 ≤ ψ ≤ -17)
+              beta   (-180 ≤ φ ≤ -90, 90 ≤ ψ ≤ 180)
+              L-alpha (30 ≤ φ ≤ 90, 0 ≤ ψ ≤ 90)
+    allowed:  otherwise, any ψ with φ ≤ -30 or φ ≥ 30
+    outlier:  the rest (the |φ| < 30 strip)
+    """
+    phi_d = np.degrees(phi[valid])
+    psi_d = np.degrees(psi[valid])
+    n = len(phi_d)
+    if n == 0:
+        return dict(favored=0.0, allowed=0.0, outlier=0.0, n=0)
+
+    favored = (
+        ((-90 <= phi_d) & (phi_d <= -30) & (-77 <= psi_d) & (psi_d <= -17))
+        | ((-180 <= phi_d) & (phi_d <= -90) & (90 <= psi_d) & (psi_d <= 180))
+        | ((30 <= phi_d) & (phi_d <= 90) & (0 <= psi_d) & (psi_d <= 90))
+    )
+    allowed_only = ~favored & (
+        ((-180 <= phi_d) & (phi_d <= -30)) | ((30 <= phi_d) & (phi_d <= 180))
+    )
+    outlier = ~favored & ~allowed_only
+
+    return dict(
+        favored=float(favored.mean()),
+        allowed=float(allowed_only.mean()),
+        outlier=float(outlier.mean()),
+        n=n,
+    )
+
+
 def _wrap_diff(a: np.ndarray, b: float) -> np.ndarray:
     d = a - b
     return np.arctan2(np.sin(d), np.cos(d))
 
 
-def classify_ramachandran(phi: np.ndarray, psi: np.ndarray,
-                          valid: np.ndarray) -> dict:
-    """Fraction of residues favored / allowed / outlier."""
+def classify_ramachandran_elliptical(phi: np.ndarray, psi: np.ndarray,
+                                     valid: np.ndarray) -> dict:
+    """Elliptical-basin classification consistent with the training loss's
+    Gaussian basins (alpha, beta, left-alpha, PPII)."""
     phi = phi[valid]
     psi = psi[valid]
     n = len(phi)

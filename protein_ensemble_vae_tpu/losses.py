@@ -288,10 +288,15 @@ def compute_total_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
                        mu_g: Array, lv_g: Array, mu_l: Array, lv_l: Array,
                        target_dihedrals: Array,
                        klw_g: Array, klw_l: Array,
-                       weights: LossWeights) -> dict[str, Array]:
+                       weights: LossWeights,
+                       use_pallas: object = "auto") -> dict[str, Array]:
     """Weighted sum of all terms; same structure and dict keys as reference
     losses.py:520-613. ``klw_g``/``klw_l`` are the *scheduled* KL weights and
-    may be traced scalars (so annealing doesn't retrigger compilation)."""
+    may be traced scalars (so annealing doesn't retrigger compilation).
+
+    ``use_pallas`` (True|False|"auto") follows the model's
+    ``use_pallas_egnn`` knob and controls the blocked Pallas clash kernel via
+    the shared routing policy (``ops.routing.pallas_policy``)."""
     loss_rec_ca = rmsd_loss(pred_ca, target_ca, mask)
     loss_rec_n = rmsd_loss(pred_n, target_n, mask)
     loss_rec_c = rmsd_loss(pred_c, target_c, mask)
@@ -315,9 +320,11 @@ def compute_total_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
     loss_seq = sequence_classification_loss(pred_seq, target_seq_labels, mask)
 
     # Long chains route through the blocked Pallas clash kernel (O(L) memory
-    # instead of a [B, 3L, 3L] matrix); same value to fp32 tolerance.
-    L = mask.shape[1]
-    if L >= 512 and L % 64 == 0 and jax.default_backend() == "tpu":
+    # instead of a [B, 3L, 3L] matrix); same value to fp32 tolerance. One
+    # shared policy with the EGNN band kernel — use_pallas=False disables
+    # both.
+    from protein_ensemble_vae_tpu.ops.routing import pallas_policy
+    if pallas_policy(mask.shape[1], use_pallas):
         from protein_ensemble_vae_tpu.ops.pallas.clash import clash_loss_pallas
         loss_clash = clash_loss_pallas(pred_n, pred_ca, pred_c, mask)
     else:

@@ -80,13 +80,10 @@ class EGNNBandLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _pallas_enabled(self, L: int) -> bool:
-        """"auto" enables the fused kernel where it measured faster than the
-        XLA band path: long chains (L >= 512, HBM-bound regime) on a real
-        TPU. Short chains / large batches favor XLA whole-graph fusion."""
-        if self.use_pallas == "auto":
-            return (L >= 512 and L % 64 == 0
-                    and jax.default_backend() == "tpu")
-        return bool(self.use_pallas)
+        """Routing is centralized in ``ops.routing.pallas_policy`` (shared
+        with the clash-loss kernel)."""
+        from protein_ensemble_vae_tpu.ops.routing import pallas_policy
+        return pallas_policy(L, self.use_pallas)
 
     @nn.compact
     def __call__(self, h: Array, x: Array, nbr_idx: Array, nbr_valid: Array,

@@ -1,0 +1,50 @@
+"""Single kernel-routing policy for the Pallas compute paths.
+
+Both the fused EGNN band kernel (``ops.pallas.egnn_band``) and the blocked
+clash kernel (``ops.pallas.clash``) are alternatives to pure-XLA paths over
+the same parameters/values. Whether they run is decided *here*, in one place,
+from one config knob (``ModelConfig.use_pallas_egnn``) — previously the
+threshold heuristic was duplicated in ``models/decoder.py`` and ``losses.py``
+and the clash side ignored the flag entirely.
+
+Measured regimes (RESULTS.md, single v5e chip):
+- L >= 512 (HBM-bound band regime): fused kernel ~2.5x over XLA; full step
+  17.5x at B2/L640 with remat.
+- short chains / large batches (e.g. B16/L256): XLA whole-graph fusion wins
+  (Pallas was a 5.8x regression) — "auto" must stay off there.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+# "auto" enables Pallas only where it measured faster than XLA: long chains
+# on a real TPU. Mosaic tiling requires L % 64 == 0 (sublane alignment of the
+# band blocks); the length-bucket ladder guarantees this for L >= 512.
+PALLAS_AUTO_MIN_L = 512
+PALLAS_L_MULTIPLE = 64
+
+
+def pallas_supported(L: int, backend: Optional[str] = None) -> bool:
+    """Hardware/shape feasibility: the kernels are Mosaic(TPU)-only and need
+    64-aligned L."""
+    if backend is None:
+        backend = jax.default_backend()
+    return backend == "tpu" and L % PALLAS_L_MULTIPLE == 0
+
+
+def pallas_policy(L: int, use_pallas: object = "auto",
+                  backend: Optional[str] = None) -> bool:
+    """Decide whether the Pallas path runs for sequence length ``L``.
+
+    ``use_pallas`` is ``ModelConfig.use_pallas_egnn``: True | False | "auto".
+    - True: forced on (caller asserts shape feasibility; kernels raise on
+      unsupported shapes/backends).
+    - False/None: forced off everywhere — including the clash kernel.
+    - "auto": on only in the measured-faster regime (TPU, L >= 512, aligned).
+    """
+    if use_pallas == "auto":
+        return (L >= PALLAS_AUTO_MIN_L and pallas_supported(L, backend))
+    return bool(use_pallas)

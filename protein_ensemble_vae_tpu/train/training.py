@@ -107,7 +107,8 @@ def make_train_step(model: HierCVAE, weights: LossWeights, train: bool,
             pred_n, pred_ca, pred_c, pred_seq,
             tgt["n"], tgt["ca"], tgt["c"], tgt["seq_labels"], mask,
             mu_g, lv_g, mu_l, lv_l, tgt["dihedrals"],
-            klw_g=klw_g, klw_l=klw_l, weights=weights)
+            klw_g=klw_g, klw_l=klw_l, weights=weights,
+            use_pallas=model.config.use_pallas_egnn)
         seq_acc = sequence_accuracy(pred_seq, tgt["seq_labels"], mask)
         return loss_dict["total"], (loss_dict, seq_acc)
 

@@ -50,6 +50,50 @@ def ref_modules():
     return {"losses": ref_losses, "torch": torch}
 
 
+def _load_ref_prepare_fns() -> dict:
+    """Load the reference's pure-numpy alignment functions as an oracle.
+
+    ``scripts/prepare_data.py`` imports Bio/rcsbapi (not installed here), so
+    the module can't be imported directly; the needed functions are
+    numpy-only, so extract just their defs from the AST and exec them.
+    """
+    if not reference_available():
+        pytest.skip("reference checkout not available")
+    import ast
+    from typing import Dict, List, Optional, Tuple
+
+    path = os.path.join(REFERENCE_DIR, "scripts", "prepare_data.py")
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    wanted = {"kabsch", "pairwise_rmsd_matrix", "choose_medoid",
+              "align_to_reference", "detect_core_mask", "align_core_fit"}
+    nodes = [n for n in tree.body
+             if isinstance(n, ast.FunctionDef) and n.name in wanted]
+    assert {n.name for n in nodes} == wanted
+    ns = {"np": np, "List": List, "Tuple": Tuple, "Dict": Dict,
+          "Optional": Optional}
+    exec(compile(ast.Module(body=nodes, type_ignores=[]), path, "exec"), ns)
+    return ns
+
+
+@pytest.fixture()
+def ref_prepare_fns():
+    """Reference alignment oracle, verbatim (including its kabsch bug)."""
+    return _load_ref_prepare_fns()
+
+
+@pytest.fixture()
+def ref_prepare_fns_fixed():
+    """Reference alignment oracle with its inverted-rotation kabsch replaced
+    by a correct one — parity target for the *algorithm* (medoid choice, core
+    detection, fit structure), see test_reference_kabsch_is_inverted."""
+    from protein_ensemble_vae_tpu.dataprep.align import _kabsch_rt
+
+    ns = _load_ref_prepare_fns()
+    ns["kabsch"] = _kabsch_rt
+    return ns
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(13)

@@ -143,6 +143,38 @@ def test_multi_model_pdb_roundtrip(tmp_path):
     assert f"NUMMDL    {K}" in open(path).read()
 
 
+def test_pdb_read_offset_and_insertion_codes(tmp_path):
+    """Real-world numbering: resseq starting at 17, an interior gap, an
+    insertion code, and a negative resseq must map to a compact index and
+    round-trip through the analysis reader (VERDICT round-1 item #6)."""
+    n, ca, c = helix_backbone(6)
+    path = str(tmp_path / "offset.pdb")
+    rows = []  # (resseq, icode, coords index)
+    numbering = [(-2, ""), (17, ""), (18, ""), (18, "A"), (19, ""), (21, "")]
+    serial = 1
+    with open(path, "w") as f:
+        for i, (resseq, icode) in enumerate(numbering):
+            for name, xyz, elem in (("N", n[i], "N"), ("CA", ca[i], "C"),
+                                    ("C", c[i], "C")):
+                pad = f" {name:<3s}"
+                f.write(f"ATOM  {serial:5d} {pad} ALA A{resseq:4d}{icode or ' '}"
+                        f"   {xyz[0]:8.3f}{xyz[1]:8.3f}{xyz[2]:8.3f}"
+                        f"{1.00:6.2f}{0.00:6.2f}           {elem}\n")
+                serial += 1
+        f.write("END\n")
+    parsed = read_pdb_backbone(path)
+    # -2, then a (rebased) run: 17,18,18A,19,gap,21
+    # layout: [-2]=0, [17]=1+gap(19)=... offsets rebased but gaps preserved
+    mask = parsed["mask"]
+    assert parsed["ca"].shape[0] == 1
+    assert mask.sum() == 6
+    got = parsed["ca"][0][mask > 0.5]
+    np.testing.assert_allclose(got, ca, atol=2e-3)
+    # 19 -> 21 leaves exactly one masked gap slot between the last two
+    valid_idx = np.where(mask > 0.5)[0]
+    assert valid_idx[-1] - valid_idx[-2] == 2
+
+
 def test_geometry_gate():
     _, ca, _ = helix_backbone(30)
     mask = np.ones(30, np.float32)
@@ -161,6 +193,43 @@ def test_ramachandran_classification_of_real_helix():
     res = classify_ramachandran(phi, psi, valid)
     assert res["n"] > 0
     assert abs(res["favored"] + res["allowed"] + res["outlier"] - 1.0) < 1e-6
+    # a helical backbone (phi ~ -41, psi ~ -38 for this fixture) is almost
+    # entirely inside the reference's alpha box (analyze_ensemble.py:176-181);
+    # only chain-end residues with partial dihedrals can fall outside
+    assert res["favored"] >= 0.9
+
+
+def test_ramachandran_reference_boxes():
+    """Point-wise parity with the reference's rectangular regions
+    (analyze_ensemble.py:176-190): alpha/beta/L-alpha favored; any other
+    |phi| >= 30 allowed; the |phi| < 30 strip outlier."""
+    cases = [
+        ((-60, -45), "favored"),    # alpha
+        ((-120, 120), "favored"),   # beta
+        ((60, 45), "favored"),      # left-handed alpha
+        ((-150, 0), "allowed"),     # phi <= -30, outside favored boxes
+        ((100, -50), "allowed"),    # phi >= 30, outside favored boxes
+        ((-60, 60), "allowed"),     # between alpha and beta psi ranges
+        ((0, 0), "outlier"),        # |phi| < 30 strip
+        ((10, -100), "outlier"),
+        ((-20, 170), "outlier"),
+    ]
+    for (phi_d, psi_d), expect in cases:
+        res = classify_ramachandran(np.radians([phi_d]), np.radians([psi_d]),
+                                    np.array([True]))
+        assert res[expect if expect != "outlier" else "outlier"] == 1.0, (
+            (phi_d, psi_d, expect, res))
+
+
+def test_ramachandran_fractions_partition():
+    rng = np.random.default_rng(7)
+    phi = rng.uniform(-np.pi, np.pi, 500)
+    psi = rng.uniform(-np.pi, np.pi, 500)
+    valid = np.ones(500, bool)
+    res = classify_ramachandran(phi, psi, valid)
+    assert abs(res["favored"] + res["allowed"] + res["outlier"] - 1.0) < 1e-9
+    # uniform angles: the outlier strip is 60/360 of phi minus nothing else
+    assert 0.1 < res["outlier"] < 0.25
 
 
 def test_validation_report(tmp_path, rng):

@@ -1,0 +1,70 @@
+"""Kernel-routing policy tests: one policy function, honored by both the
+EGNN band kernel and the clash-loss kernel (VERDICT round-1 item #5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protein_ensemble_vae_tpu.losses import clash_loss, compute_total_loss
+from protein_ensemble_vae_tpu.config import LossWeights
+from protein_ensemble_vae_tpu.ops.routing import pallas_policy
+
+
+@pytest.mark.parametrize("L,flag,backend,expected", [
+    # auto: only TPU + L >= 512 + 64-aligned
+    (512, "auto", "tpu", True),
+    (640, "auto", "tpu", True),
+    (256, "auto", "tpu", False),     # short chain: XLA path measured faster
+    (520, "auto", "tpu", False),     # not 64-aligned: Mosaic tiling unsupported
+    (512, "auto", "cpu", False),     # kernels are TPU-only
+    # forced
+    (64, True, "cpu", True),
+    (640, False, "tpu", False),
+    (640, None, "tpu", False),
+])
+def test_pallas_policy(L, flag, backend, expected):
+    assert pallas_policy(L, flag, backend=backend) is expected
+
+
+def test_decoder_and_clash_share_policy():
+    """The decoder layer consults the same function — no duplicated
+    threshold logic (routing once lived independently in decoder.py and
+    losses.py)."""
+    from protein_ensemble_vae_tpu.models.decoder import EGNNBandLayer
+
+    layer = EGNNBandLayer(hidden=8, use_pallas=False)
+    assert layer._pallas_enabled(640) is False
+    layer_auto = EGNNBandLayer(hidden=8, use_pallas="auto")
+    # on the CPU test backend auto must resolve off at every length
+    assert layer_auto._pallas_enabled(640) is False
+
+
+def test_total_loss_use_pallas_flag_accepted(rng):
+    """compute_total_loss takes the routing knob; False must give the dense
+    clash value (and on CPU, "auto" must agree with it)."""
+    B, L = 2, 16
+    n = rng.normal(0, 3, (B, L, 3)).astype(np.float32)
+    ca = rng.normal(0, 3, (B, L, 3)).astype(np.float32)
+    c = rng.normal(0, 3, (B, L, 3)).astype(np.float32)
+    mask = np.ones((B, L), np.float32)
+    dih = np.zeros((B, L, 6), np.float32)
+    labels = rng.integers(0, 20, (B, L))
+    logits = rng.normal(0, 1, (B, L, 20)).astype(np.float32)
+    mu_g = rng.normal(0, 1, (B, 8)).astype(np.float32)
+    lv_g = rng.normal(-2, 0.2, (B, 8)).astype(np.float32)
+    mu_l = rng.normal(0, 1, (B, L, 4)).astype(np.float32)
+    lv_l = rng.normal(-2, 0.2, (B, L, 4)).astype(np.float32)
+
+    args = (jnp.array(n), jnp.array(ca), jnp.array(c), jnp.array(logits),
+            jnp.array(n), jnp.array(ca), jnp.array(c), jnp.array(labels),
+            jnp.array(mask), jnp.array(mu_g), jnp.array(lv_g),
+            jnp.array(mu_l), jnp.array(lv_l), jnp.array(dih))
+    kw = dict(klw_g=jnp.float32(1.0), klw_l=jnp.float32(0.5),
+              weights=LossWeights())
+    d_off = compute_total_loss(*args, **kw, use_pallas=False)
+    d_auto = compute_total_loss(*args, **kw, use_pallas="auto")
+    dense = clash_loss(jnp.array(n), jnp.array(ca), jnp.array(c),
+                       jnp.array(mask))
+    np.testing.assert_allclose(float(d_off["clash"]), float(dense), rtol=1e-6)
+    np.testing.assert_allclose(float(d_auto["clash"]), float(dense),
+                               rtol=1e-6)
