@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["rec", "loss", "rmsd"])
     ap.add_argument("--early_stopping_delta", type=float, default=1e-4)
 
+    ap.add_argument("--use_crosspdb", action="store_true",
+                    help="include /crosspdb conformers (same-UniProt "
+                         "augmentation) as extra training pair partners")
     ap.add_argument("--wandb_project", type=str, default="Protein-VAE")
     ap.add_argument("--wandb_run_name", type=str, default=None)
     ap.add_argument("--wandb_mode", type=str, default="disabled",
@@ -111,9 +114,9 @@ def main(argv=None):
         args = parser.parse_args(argv)
 
     train_ds = EnsembleDataset(args.manifest_train, use_seqemb=args.use_seqemb,
-                               verbose=True)
+                               use_crosspdb=args.use_crosspdb, verbose=True)
     val_ds = EnsembleDataset(args.manifest_val, use_seqemb=args.use_seqemb,
-                             verbose=True)
+                             use_crosspdb=args.use_crosspdb, verbose=True)
     seqemb_dim = train_ds.seqemb_dim if args.use_seqemb else None
     if seqemb_dim is None:
         seqemb_dim = 1280  # zero-filled placeholder channel

@@ -62,47 +62,66 @@ def _read_manifest(manifest_csv: str) -> list[str]:
     return paths
 
 
-def _load_h5(h5_path: str, protein_id: str, use_seqemb: bool) -> list[Conformer]:
+_TORSION_KEYS = ("torsion_phi_sincos", "torsion_psi_sincos",
+                 "torsion_omega_sincos")
+
+
+def _conformers_from_group(fh, protein_id: str, h5_path: str,
+                           seq_emb, sequence) -> list[Conformer]:
+    """Read one coords_N/ca/C + mask_ca (+torsion) group into Conformers."""
+    n_coords = fh["coords_N"][:]
+    ca_coords = fh["coords_ca"][:]
+    c_coords = fh["coords_C"][:]
+    mask = fh["mask_ca"][:]
+    K, L, _ = ca_coords.shape
+
+    dihedrals = None
+    if all(k in fh for k in _TORSION_KEYS):
+        dihedrals = np.concatenate([fh[k][:] for k in _TORSION_KEYS], axis=-1)
+
+    out = []
+    for k in range(K):
+        if mask[k].sum() <= 0:
+            continue
+        dih_k = (dihedrals[k] if dihedrals is not None
+                 else np.zeros((L, 6), np.float32))
+        out.append(Conformer(
+            n=n_coords[k].astype(np.float32),
+            ca=ca_coords[k].astype(np.float32),
+            c=c_coords[k].astype(np.float32),
+            mask=mask[k].astype(np.float32),
+            seq_emb=seq_emb,
+            dihedrals=dih_k.astype(np.float32),
+            sequence=sequence,
+            protein_id=protein_id,
+            h5_path=h5_path,
+        ))
+    return out
+
+
+def _load_h5(h5_path: str, protein_id: str, use_seqemb: bool,
+             use_crosspdb: bool = False) -> list[Conformer]:
     import h5py
 
-    out: list[Conformer] = []
     with h5py.File(h5_path, "r") as fh:
-        n_coords = fh["coords_N"][:]
-        ca_coords = fh["coords_ca"][:]
-        c_coords = fh["coords_C"][:]
-        mask = fh["mask_ca"][:]
-        K, L, _ = ca_coords.shape
-
         seq_emb = None
         if use_seqemb and ESM_GROUP in fh:
             seq_emb = fh[ESM_GROUP][:].astype(np.float32)
-
-        dihedrals = None
-        keys = ["torsion_phi_sincos", "torsion_psi_sincos", "torsion_omega_sincos"]
-        if all(k in fh for k in keys):
-            dihedrals = np.concatenate([fh[k][:] for k in keys], axis=-1)
 
         sequence = None
         if "sequence" in fh:
             raw = fh["sequence"][()]
             sequence = raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else str(raw)
 
-        for k in range(K):
-            if mask[k].sum() <= 0:
-                continue
-            dih_k = (dihedrals[k] if dihedrals is not None
-                     else np.zeros((L, 6), np.float32))
-            out.append(Conformer(
-                n=n_coords[k].astype(np.float32),
-                ca=ca_coords[k].astype(np.float32),
-                c=c_coords[k].astype(np.float32),
-                mask=mask[k].astype(np.float32),
-                seq_emb=seq_emb,
-                dihedrals=dih_k.astype(np.float32),
-                sequence=sequence,
-                protein_id=protein_id,
-                h5_path=h5_path,
-            ))
+        out = _conformers_from_group(fh, protein_id, h5_path, seq_emb,
+                                     sequence)
+        # Cross-PDB conformers (same UniProt, >= 95 % identity, aligned into
+        # the base frame at build time) join as extra pair partners. They
+        # share the base chain's sequence labels / ESM embedding — justified
+        # by the identity threshold.
+        if use_crosspdb and "crosspdb" in fh:
+            out += _conformers_from_group(fh["crosspdb"], protein_id,
+                                          h5_path, seq_emb, sequence)
     return out
 
 
@@ -143,8 +162,9 @@ class EnsembleDataset:
     """
 
     def __init__(self, manifest_csv: str, use_seqemb: bool = True,
-                 verbose: bool = False):
+                 use_crosspdb: bool = False, verbose: bool = False):
         self.use_seqemb = use_seqemb
+        self.use_crosspdb = use_crosspdb
         self.conformers: list[Conformer] = []
         self.proteins: dict[str, list[int]] = {}
 
@@ -155,7 +175,8 @@ class EnsembleDataset:
                 continue
             protein_id = os.path.basename(h5_path).replace(".h5", "").split("_")[0]
             start = len(self.conformers)
-            self.conformers.extend(_load_h5(h5_path, protein_id, use_seqemb))
+            self.conformers.extend(_load_h5(h5_path, protein_id, use_seqemb,
+                                            use_crosspdb))
             self.proteins.setdefault(protein_id, []).extend(
                 range(start, len(self.conformers)))
 

@@ -119,6 +119,164 @@ def parse_mmcif_backbone(path_or_text: str, is_text: bool = False) -> dict:
     return chains
 
 
+def _open_cif(path_or_text: str, is_text: bool):
+    if is_text:
+        return io.StringIO(path_or_text)
+    if path_or_text.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path_or_text, "rb"))
+    return open(path_or_text)
+
+
+def parse_mmcif_categories(path_or_text: str, prefixes: tuple[str, ...],
+                           is_text: bool = False) -> dict[str, list[str]]:
+    """Generic mmCIF item extractor for the given category prefixes
+    (e.g. ``("_struct_ref.", "_exptl.")``).
+
+    Handles both key-value form (``_cat.item value`` / value on the next
+    line / semicolon text blocks) and loop form (rows may span lines).
+    Returns ``{item_name: [values...]}`` — the subset of parsing the
+    reference does through BioPython's MMCIF2Dict (prepare_data.py:581-683).
+    """
+    out: dict[str, list[str]] = {}
+
+    def want(name: str) -> bool:
+        return any(name.startswith(p) for p in prefixes)
+
+    with _open_cif(path_or_text, is_text) as fh:
+        lines = iter(fh)
+        header: list[str] = []
+        row: list[str] = []
+        in_loop = False
+        pending_key: Optional[str] = None
+        for raw in lines:
+            line = raw.rstrip("\n")
+            s = line.strip()
+            if s.startswith(";"):
+                # semicolon text block = one token
+                block = [s[1:]]
+                for raw2 in lines:
+                    s2 = raw2.rstrip("\n")
+                    if s2.strip() == ";":
+                        break
+                    block.append(s2)
+                tok = "\n".join(block).strip()
+                if pending_key is not None:
+                    if want(pending_key):
+                        out.setdefault(pending_key, []).append(tok)
+                    pending_key = None
+                elif in_loop and header:
+                    row.append(tok)
+                    if len(row) == len(header):
+                        for hname, v in zip(header, row):
+                            if want(hname):
+                                out.setdefault(hname, []).append(v)
+                        row = []
+                continue
+            if s == "loop_":
+                in_loop = True
+                header = []
+                row = []
+                pending_key = None
+                continue
+            if not s or s.startswith("#") or s.startswith("data_"):
+                in_loop = False
+                header = []
+                row = []
+                continue
+            if s.startswith("_"):
+                toks = _tokenize_cif_line(s)
+                if in_loop and not row:
+                    header.append(toks[0])
+                    continue
+                in_loop = False
+                header = []
+                if len(toks) >= 2:
+                    if want(toks[0]):
+                        out.setdefault(toks[0], []).append(toks[1])
+                else:
+                    pending_key = toks[0]
+                continue
+            # data line
+            if pending_key is not None:
+                toks = _tokenize_cif_line(s)
+                if toks and want(pending_key):
+                    out.setdefault(pending_key, []).append(toks[0])
+                pending_key = None
+                continue
+            if in_loop and header:
+                row.extend(_tokenize_cif_line(s))
+                if len(row) >= len(header):
+                    for hname, v in zip(header, row):
+                        if want(hname):
+                            out.setdefault(hname, []).append(v)
+                    row = []
+    return out
+
+
+def uniprot_accessions(path_or_text: str, is_text: bool = False) -> list[str]:
+    """UniProt accessions for the entry from ``_struct_ref``.
+
+    The reference reads ``_struct_ref.db_code`` (prepare_data.py:667-684) —
+    but for UniProt rows that is the mnemonic entry *name* (e.g. CSPA_ECOLI);
+    the search API wants the *accession* (e.g. P0A9X9), which lives in
+    ``_struct_ref.pdbx_db_accession``. We prefer the accession and fall back
+    to db_code (documented deviation; fixes dead cross-PDB searches).
+    """
+    d = parse_mmcif_categories(path_or_text, ("_struct_ref.",), is_text)
+    db_names = d.get("_struct_ref.db_name", [])
+    accs = d.get("_struct_ref.pdbx_db_accession", [])
+    codes = d.get("_struct_ref.db_code", [])
+    out = []
+    for i, db in enumerate(db_names):
+        if str(db).strip().upper() not in ("UNP", "UNIPROT"):
+            continue
+        for src in (accs, codes):
+            v = src[i].strip() if i < len(src) else ""
+            if v and v not in ("?", "."):
+                out.append(v)
+                break
+    return sorted(set(out))
+
+
+def _first_float(d: dict, *keys: str) -> float:
+    for k in keys:
+        vals = d.get(k)
+        if vals:
+            v = vals[0]
+            if v not in ("?", ".", ""):
+                try:
+                    return float(v)
+                except ValueError:
+                    pass
+    return float("nan")
+
+
+def extract_metadata(path_or_text: str, is_text: bool = False) -> dict:
+    """Method / resolution / pH / temperature / ligand HET codes (reference
+    extract_metadata_mmcif, prepare_data.py:581-625)."""
+    d = parse_mmcif_categories(
+        path_or_text,
+        ("_exptl.", "_refine.", "_em_3d_reconstruction.", "_exptl_crystal.",
+         "_diffrn.", "_chem_comp."),
+        is_text)
+    method = d.get("_exptl.method", [""])
+    ligs = []
+    for cid, ctype in zip(d.get("_chem_comp.id", []),
+                          d.get("_chem_comp.type", [])):
+        if cid and cid not in ("HOH", "WAT") and \
+                str(ctype).lower().startswith(("non-polymer", "ligand")):
+            ligs.append(cid)
+    return {
+        "method": str(method[0]) if method else "",
+        "resolution": _first_float(d, "_refine.ls_d_res_high",
+                                   "_em_3d_reconstruction.resolution"),
+        "pH": _first_float(d, "_exptl_crystal.pH"),
+        "temperature_K": _first_float(d, "_diffrn.ambient_temp",
+                                      "_em_3d_reconstruction.temperature"),
+        "ligands": "+".join(sorted(set(ligs))) if ligs else "",
+    }
+
+
 def chain_to_arrays(chain: dict, min_models: int = 2
                     ) -> Optional[dict]:
     """Chain dict -> fixed arrays over the union of residues present.

@@ -102,6 +102,42 @@ class RCSBClient:
                 f.write(data)
         return dest
 
+    def search_entries_by_uniprot(self, accessions: Sequence[str],
+                                  max_hits: int = 1000) -> list[str]:
+        """PDB entries whose polymer entities map to any of the given UniProt
+        accessions (reference find_crosspdb_candidates_by_uniprot,
+        prepare_data.py:686-713, via rcsbapi; same query expressed directly
+        against the JSON search API)."""
+        if not accessions:
+            return []
+        payload = {
+            "query": {"type": "group", "logical_operator": "and", "nodes": [
+                {"type": "terminal", "service": "text", "parameters": {
+                    "attribute": ("rcsb_polymer_entity_container_identifiers."
+                                  "reference_sequence_identifiers.database_name"),
+                    "operator": "exact_match", "value": "UniProt"}},
+                {"type": "terminal", "service": "text", "parameters": {
+                    "attribute": ("rcsb_polymer_entity_container_identifiers."
+                                  "reference_sequence_identifiers."
+                                  "database_accession"),
+                    "operator": "in", "value": list(accessions)}},
+                {"type": "terminal", "service": "text", "parameters": {
+                    "attribute": "entity_poly.rcsb_entity_polymer_type",
+                    "operator": "exact_match", "value": "Protein"}},
+            ]},
+            "return_type": "entry",
+            "request_options": {"paginate": {"start": 0, "rows": max_hits}},
+        }
+        data = json.loads(self._request(RCSB_SEARCH_URL, payload))
+        hits = [hit["identifier"] for hit in data.get("result_set", [])]
+        out, seen = [], set()
+        for h in hits:
+            h = h.lower()
+            if len(h) == 4 and h not in seen:
+                out.append(h)
+                seen.add(h)
+        return out
+
 
 def process_chain(arrays: dict, max_missing_frac: float = 0.2,
                   min_len: int = 50, max_len: int = 600,
@@ -144,28 +180,44 @@ def process_chain(arrays: dict, max_missing_frac: float = 0.2,
 
 def append_crosspdb_conformers(base: dict, candidates: list[dict],
                                min_identity: float = 0.95,
-                               min_coverage: float = 0.90) -> dict:
+                               min_coverage: float = 0.90,
+                               max_models: int = 200,
+                               min_common: int = 8) -> dict:
     """Cross-PDB augmentation: map candidate chains onto the base chain by
-    BLOSUM62 global alignment, filter by identity/coverage, Kabsch each
-    accepted conformer into the base frame (prepare_data.py:557-824).
+    BLOSUM62 global alignment, filter by identity/coverage (0.95/0.90 as in
+    prepare_data.py:1010-1011), Kabsch each accepted conformer into the base
+    frame over the base's *core* residues with >= ``min_common`` in common
+    (prepare_data.py:770-778), cap at ``max_models``.
 
-    ``candidates``: list of chain arrays dicts (like ``chain_to_arrays``).
-    Returns dict with stacked crosspdb coords or empty arrays.
+    ``candidates``: list of chain arrays dicts (like ``chain_to_arrays``),
+    optionally carrying ``source`` (pdb:chain string) and ``meta`` (method/
+    resolution/... dict). Returns stacked crosspdb coords + torsions + one
+    meta record per accepted conformer; empty arrays when nothing passes.
+    Beyond the reference (which keeps CA only, :806-815) the full N/CA/C
+    backbone and torsions are stored so crosspdb conformers can serve as
+    training pair partners.
     """
     from protein_ensemble_vae_tpu.dataprep.align import _kabsch_rt
 
     L = base["mask"].shape[1]
     med = base.get("medoid", 0)
     base_ca = base["coords_ca"][med]
+    core = base.get("core_mask")
+    fit_mask = ((base["mask"][med] > 0.5) if core is None
+                else ((core > 0.5) & (base["mask"][med] > 0.5)))
     acc_n, acc_ca, acc_c, acc_mask, sources = [], [], [], [], []
 
     for cand in candidates:
+        if len(acc_ca) >= max_models:
+            break
         _, pairs = needleman_wunsch(base["sequence"], cand["sequence"])
         ident, cov = alignment_identity_coverage(
             base["sequence"], cand["sequence"], pairs)
         if ident < min_identity or cov < min_coverage:
             continue
         for k in range(cand["mask"].shape[0]):
+            if len(acc_ca) >= max_models:
+                break
             n_map = np.zeros((L, 3), np.float32)
             ca_map = np.zeros((L, 3), np.float32)
             c_map = np.zeros((L, 3), np.float32)
@@ -176,8 +228,10 @@ def append_crosspdb_conformers(base: dict, candidates: list[dict],
                     ca_map[i] = cand["coords_ca"][k, j]
                     c_map[i] = cand["coords_c"][k, j]
                     m_map[i] = 1.0
-            shared = (m_map > 0.5) & (base["mask"][med] > 0.5)
-            if shared.sum() < 10:
+            if m_map.sum() < min_common:
+                continue
+            shared = (m_map > 0.5) & fit_mask
+            if shared.sum() < min_common:
                 continue
             R, t = _kabsch_rt(ca_map[shared], base_ca[shared])
             for arr in (n_map, ca_map, c_map):
@@ -186,16 +240,91 @@ def append_crosspdb_conformers(base: dict, candidates: list[dict],
             acc_ca.append(ca_map)
             acc_c.append(c_map)
             acc_mask.append(m_map)
-            sources.append(cand.get("source", "unknown"))
+            meta = dict(cand.get("meta") or {})
+            ligs = meta.get("ligands", "")
+            meta.update(
+                source=cand.get("source", "unknown"),
+                model_index=k,
+                state=("apo" if not ligs else f"holo-{ligs}"),
+                identity=float(ident), coverage=float(cov))
+            sources.append(meta)
 
     if not acc_ca:
         return dict(coords_n=np.zeros((0, L, 3), np.float32),
                     coords_ca=np.zeros((0, L, 3), np.float32),
                     coords_c=np.zeros((0, L, 3), np.float32),
                     mask=np.zeros((0, L), np.float32), sources=[])
-    return dict(coords_n=np.stack(acc_n), coords_ca=np.stack(acc_ca),
-                coords_c=np.stack(acc_c), mask=np.stack(acc_mask),
-                sources=sources)
+
+    out = dict(coords_n=np.stack(acc_n), coords_ca=np.stack(acc_ca),
+               coords_c=np.stack(acc_c), mask=np.stack(acc_mask),
+               sources=sources)
+
+    # Torsions so crosspdb conformers are full training citizens.
+    import jax.numpy as jnp
+
+    from protein_ensemble_vae_tpu.ops.geometry import dihedrals_from_coords
+
+    dih = np.asarray(dihedrals_from_coords(
+        jnp.array(out["coords_n"]), jnp.array(out["coords_ca"]),
+        jnp.array(out["coords_c"]), jnp.array(out["mask"])))
+    out["torsion_phi_sincos"] = dih[..., 0:2]
+    out["torsion_psi_sincos"] = dih[..., 2:4]
+    out["torsion_omega_sincos"] = dih[..., 4:6]
+    return out
+
+
+def candidates_from_cifs(cif_paths: Sequence[str],
+                         verbose: bool = False) -> list[dict]:
+    """Parse candidate mmCIF files into per-chain candidate dicts for
+    ``append_crosspdb_conformers`` (single-model X-ray entries are fine:
+    min_models=1). Attaches source id + entry metadata."""
+    from protein_ensemble_vae_tpu.dataprep.mmcif import extract_metadata
+
+    out = []
+    for cif in cif_paths:
+        pdb_id = os.path.basename(cif).split(".")[0].lower()
+        try:
+            chains = parse_mmcif_backbone(cif)
+            meta = extract_metadata(cif)
+        except Exception as e:  # noqa: BLE001 — best-effort per candidate
+            if verbose:
+                print(f"[dataprep] crosspdb candidate parse failed {cif}: {e}")
+            continue
+        for chain_id, chain in chains.items():
+            arrays = chain_to_arrays(chain, min_models=1)
+            if arrays is None:
+                continue
+            arrays["source"] = f"{pdb_id}:{chain_id}"
+            arrays["meta"] = meta
+            out.append(arrays)
+    return out
+
+
+def discover_crosspdb(base_pdb_id: str, base_cif: str, client: "RCSBClient",
+                      raw_dir: str, max_hits: int = 1000,
+                      verbose: bool = False) -> list[dict]:
+    """Online discovery: UniProt accessions from the base entry's mmCIF
+    ``_struct_ref`` -> RCSB polymer-entity search -> download candidates
+    (reference prepare_data.py:715-760). Returns candidate dicts; the base
+    entry itself is excluded."""
+    from protein_ensemble_vae_tpu.dataprep.mmcif import uniprot_accessions
+
+    accs = uniprot_accessions(base_cif)
+    if not accs:
+        return []
+    cand_ids = [p for p in client.search_entries_by_uniprot(accs, max_hits)
+                if p != base_pdb_id.lower()]
+    if verbose:
+        print(f"[dataprep] crosspdb {base_pdb_id}: UniProt {accs} -> "
+              f"{len(cand_ids)} candidate entries")
+    cifs = []
+    for pid in cand_ids:
+        try:
+            cifs.append(client.download_mmcif(pid, raw_dir))
+        except RuntimeError as e:
+            if verbose:
+                print(f"[dataprep] crosspdb download failed {pid}: {e}")
+    return candidates_from_cifs(cifs, verbose=verbose)
 
 
 def write_chain_h5(path: str, chain: dict,
@@ -227,6 +356,12 @@ def write_chain_h5(path: str, chain: dict,
             g.create_dataset("coords_ca", data=crosspdb["coords_ca"])
             g.create_dataset("coords_C", data=crosspdb["coords_c"])
             g.create_dataset("mask_ca", data=crosspdb["mask"])
+            for k in ("torsion_phi_sincos", "torsion_psi_sincos",
+                      "torsion_omega_sincos"):
+                if k in crosspdb:
+                    g.create_dataset(k, data=crosspdb[k])
+            # per-conformer provenance records (reference meta_json,
+            # prepare_data.py:780-815)
             g.attrs["sources"] = json.dumps(crosspdb["sources"])
     return path
 
@@ -263,8 +398,21 @@ def build_from_files(cif_paths: Sequence[str], output_dir: str,
                      min_models: int = 2, min_len: int = 50,
                      max_len: int = 600, max_missing_frac: float = 0.2,
                      with_pair_features: bool = True,
-                     seed: int = 13, verbose: bool = True) -> dict[str, str]:
-    """Offline build: local mmCIF files -> H5 + manifests."""
+                     seed: int = 13, verbose: bool = True,
+                     crosspdb_cifs: Optional[dict] = None,
+                     crosspdb_online: bool = False,
+                     crosspdb_identity: float = 0.95,
+                     crosspdb_coverage: float = 0.90,
+                     crosspdb_max_models: int = 200,
+                     client: Optional["RCSBClient"] = None) -> dict[str, str]:
+    """Offline build: local mmCIF files -> H5 + manifests.
+
+    Cross-PDB augmentation (reference prepare_data.py:997-1016, best-effort):
+    - ``crosspdb_cifs``: {base_pdb_id: [candidate cif paths]} for offline
+      augmentation from local files;
+    - ``crosspdb_online=True``: UniProt accession extraction + RCSB search +
+      candidate download per entry (needs network).
+    """
     h5_paths = []
     for cif in cif_paths:
         pdb_id = os.path.basename(cif).split(".")[0]
@@ -274,6 +422,25 @@ def build_from_files(cif_paths: Sequence[str], output_dir: str,
             if verbose:
                 print(f"[dataprep] parse failed {cif}: {e}")
             continue
+
+        # Gather cross-PDB candidates once per entry (shared across chains).
+        candidates: list[dict] = []
+        if crosspdb_cifs and pdb_id.lower() in {
+                k.lower() for k in crosspdb_cifs}:
+            paths = next(v for k, v in crosspdb_cifs.items()
+                         if k.lower() == pdb_id.lower())
+            candidates += candidates_from_cifs(paths, verbose=verbose)
+        if crosspdb_online:
+            try:
+                candidates += discover_crosspdb(
+                    pdb_id, cif, client or RCSBClient(),
+                    os.path.join(output_dir, "cif_crosspdb"),
+                    verbose=verbose)
+            except Exception as e:  # noqa: BLE001 — optional, never fatal
+                if verbose:
+                    print(f"[dataprep] crosspdb discovery failed "
+                          f"{pdb_id}: {e}")
+
         for chain_id, chain in chains.items():
             arrays = chain_to_arrays(chain, min_models=min_models)
             if arrays is None:
@@ -282,14 +449,25 @@ def build_from_files(cif_paths: Sequence[str], output_dir: str,
                                       max_len, with_pair_features)
             if processed is None:
                 continue
+            cross = None
+            if candidates:
+                # a candidate chain must not be the base chain itself
+                own = f"{pdb_id.lower()}:{chain_id}"
+                cands = [c for c in candidates if c.get("source") != own]
+                cross = append_crosspdb_conformers(
+                    processed, cands, min_identity=crosspdb_identity,
+                    min_coverage=crosspdb_coverage,
+                    max_models=crosspdb_max_models)
             h5 = os.path.join(output_dir, "h5",
                               f"{pdb_id}_{chain_id}_nmr.h5")
-            write_chain_h5(h5, processed)
+            write_chain_h5(h5, processed, crosspdb=cross)
             h5_paths.append(h5)
             if verbose:
                 K, L = processed["mask"].shape
+                n_cross = 0 if cross is None else len(cross["coords_ca"])
                 print(f"[dataprep] {pdb_id}:{chain_id} K={K} L={L} "
-                      f"medoid={processed['medoid']} -> {h5}")
+                      f"medoid={processed['medoid']} crosspdb={n_cross} "
+                      f"-> {h5}")
     if not h5_paths:
         raise RuntimeError("no chains passed the quality gates")
     return write_manifests(h5_paths, output_dir, seed=seed)
@@ -297,8 +475,10 @@ def build_from_files(cif_paths: Sequence[str], output_dir: str,
 
 def build_dataset(output_dir: str, min_models: int = 5,
                   max_entries: int = 100, seed: int = 13,
-                  verbose: bool = True, **gates) -> dict[str, str]:
-    """Online build: query RCSB, download, then ``build_from_files``."""
+                  verbose: bool = True, crosspdb: bool = False,
+                  **gates) -> dict[str, str]:
+    """Online build: query RCSB, download, then ``build_from_files``
+    (``crosspdb=True`` enables same-UniProt conformer augmentation)."""
     client = RCSBClient()
     pdb_ids = client.query_nmr_entries(min_models=min_models,
                                        max_entries=max_entries)
@@ -313,7 +493,8 @@ def build_dataset(output_dir: str, min_models: int = 5,
             if verbose:
                 print(f"[dataprep] download failed {pid}: {e}")
     return build_from_files(cifs, output_dir, min_models=min_models,
-                            seed=seed, verbose=verbose, **gates)
+                            seed=seed, verbose=verbose,
+                            crosspdb_online=crosspdb, client=client, **gates)
 
 
 def main(argv=None):
@@ -326,16 +507,28 @@ def main(argv=None):
     ap.add_argument("--cif_files", nargs="*", default=None,
                     help="offline mode: local mmCIF files")
     ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--crosspdb", action="store_true",
+                    help="same-UniProt cross-PDB conformer augmentation "
+                         "(accession search + candidate download)")
+    ap.add_argument("--crosspdb_identity", type=float, default=0.95)
+    ap.add_argument("--crosspdb_coverage", type=float, default=0.90)
+    ap.add_argument("--crosspdb_max_models", type=int, default=200)
     args = ap.parse_args(argv)
 
+    cross_kw = dict(crosspdb_identity=args.crosspdb_identity,
+                    crosspdb_coverage=args.crosspdb_coverage,
+                    crosspdb_max_models=args.crosspdb_max_models)
     if args.cif_files:
         manifests = build_from_files(args.cif_files, args.output,
                                      min_models=args.min_models,
-                                     seed=args.seed)
+                                     seed=args.seed,
+                                     crosspdb_online=args.crosspdb,
+                                     **cross_kw)
     else:
         manifests = build_dataset(args.output, min_models=args.min_models,
                                   max_entries=args.max_entries,
-                                  seed=args.seed)
+                                  seed=args.seed, crosspdb=args.crosspdb,
+                                  **cross_kw)
     print(f"[dataprep] manifests: {manifests}")
 
 

@@ -1,6 +1,9 @@
 """Dataset-build pipeline tests: mmCIF parsing, alignment, pair features,
 H5 schema round-trip — all offline via a synthetic mmCIF fixture."""
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -82,6 +85,79 @@ def test_medoid_and_core_fit(rng):
     assert np.all(rmsf >= 0)
 
 
+def test_reference_kabsch_is_inverted(ref_prepare_fns, rng):
+    """Documents the reference bug we deliberately do NOT copy: its kabsch
+    (prepare_data.py:222-233) returns the TRANSPOSED rotation, so its own
+    application convention ``P @ R.T + t`` fails to align an exact rigid
+    transform. Our _kabsch_rt recovers it to machine precision."""
+    from protein_ensemble_vae_tpu.dataprep.align import _kabsch_rt
+    P = rng.normal(0, 3, (30, 3))
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    Q = P @ R.T + np.array([1.0, 2.0, 3.0])
+    Rr, tr = ref_prepare_fns["kabsch"](P, Q)
+    ref_residual = np.sqrt(((P @ Rr.T + tr - Q) ** 2).sum(-1).mean())
+    Ro, to = _kabsch_rt(P, Q)
+    our_residual = np.sqrt(((P @ Ro.T + to - Q) ** 2).sum(-1).mean())
+    assert ref_residual > 1.0      # the reference rotates the wrong way
+    assert our_residual < 1e-8
+
+
+def test_core_fit_align_oracle_parity(ref_prepare_fns_fixed, rng):
+    """core_fit_align vs the reference align_core_fit (prepare_data.py:116-133)
+    on random ensembles with per-conformer holes: same medoid, same core mask,
+    aligned CA coordinates to <= 1e-4 (VERDICT round-1 item #7).
+
+    The oracle runs with its kabsch bug-fixed (see
+    test_reference_kabsch_is_inverted): parity target is the reference's
+    *algorithm* — medoid choice, eligibility/variance core detection, per-model
+    common-residue fits — not its inverted rotation."""
+    ref_prepare_fns = ref_prepare_fns_fixed
+    K, L_ = 5, 80
+    _, ca0, _ = helix_backbone(L_)
+    coords = np.stack([ca0 + rng.normal(0, 0.5, ca0.shape) for _ in range(K)]
+                      ).astype(np.float64)
+    # random rigid motions so alignment actually does work
+    for k in range(1, K):
+        th = rng.uniform(0, 2 * np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        coords[k] = coords[k] @ R.T + rng.normal(0, 5, 3)
+    mask = np.ones((K, L_), np.float32)
+    mask[1, :6] = 0.0
+    mask[3, 40:52] = 0.0
+
+    ref_aligned, ref_med, ref_core = ref_prepare_fns["align_core_fit"](
+        coords.copy(), mask.copy(), core_frac=0.7, min_core_len=30,
+        min_common=8)
+
+    n = coords + np.array([1.0, 0, 0])
+    c = coords + np.array([0, 1.0, 0])
+    an, aca, ac, med, core = core_fit_align(n, coords, c, mask)
+
+    assert med == ref_med
+    np.testing.assert_array_equal(core, ref_core)
+    valid = mask > 0.5
+    np.testing.assert_allclose(aca[valid], ref_aligned[valid], atol=1e-4)
+    # N carried through the same rigid transform: offsets stay rigid
+    d_nca = np.linalg.norm(an - aca, axis=-1)
+    np.testing.assert_allclose(d_nca[valid], 1.0, atol=1e-5)
+
+
+def test_medoid_oracle_parity(ref_prepare_fns_fixed, rng):
+    ref_prepare_fns = ref_prepare_fns_fixed
+    K, L_ = 6, 50
+    _, ca0, _ = helix_backbone(L_)
+    coords = np.stack([ca0 + rng.normal(0, s, ca0.shape)
+                       for s in (0.2, 0.3, 0.2, 1.5, 0.25, 0.4)]
+                      ).astype(np.float64)
+    mask = np.ones((K, L_), np.float32)
+    mask[2, -10:] = 0.0
+    assert medoid_index(coords, mask) == ref_prepare_fns["choose_medoid"](
+        coords, mask, min_common=8)
+
+
 def test_needleman_wunsch_identical():
     s = "ACDEFGHIKLMNPQRSTVWY"
     score, pairs = needleman_wunsch(s, s)
@@ -140,6 +216,157 @@ def test_process_chain_gates():
     chains = parse_mmcif_backbone(text, is_text=True)
     arrays = chain_to_arrays(chains["A"])
     assert process_chain(arrays, min_len=50) is None
+
+
+_STRUCT_REF_KV = """
+_struct_ref.id            1
+_struct_ref.db_name       UNP
+_struct_ref.db_code       CSPA_ECOLI
+_struct_ref.pdbx_db_accession P0A9X9
+#
+"""
+
+_STRUCT_REF_LOOP = """
+loop_
+_struct_ref.id
+_struct_ref.db_name
+_struct_ref.db_code
+_struct_ref.pdbx_db_accession
+1 UNP LYSC_CHICK P00698
+2 PDB 1ABC ?
+3 UNP Q9XYZ1_FAKE Q9XYZ1
+#
+"""
+
+
+def test_uniprot_accessions_key_value():
+    from protein_ensemble_vae_tpu.dataprep.mmcif import uniprot_accessions
+    text = "data_test\n#\n" + _STRUCT_REF_KV
+    assert uniprot_accessions(text, is_text=True) == ["P0A9X9"]
+
+
+def test_uniprot_accessions_loop():
+    from protein_ensemble_vae_tpu.dataprep.mmcif import uniprot_accessions
+    text = "data_test\n#\n" + _STRUCT_REF_LOOP
+    # only UNP rows, accession preferred over db_code, sorted unique
+    assert uniprot_accessions(text, is_text=True) == ["P00698", "Q9XYZ1"]
+
+
+def test_extract_metadata():
+    from protein_ensemble_vae_tpu.dataprep.mmcif import extract_metadata
+    text = """data_test
+#
+_exptl.method 'X-RAY DIFFRACTION'
+_refine.ls_d_res_high 1.85
+_exptl_crystal.pH 7.4
+_diffrn.ambient_temp 100
+#
+loop_
+_chem_comp.id
+_chem_comp.type
+ALA 'L-peptide linking'
+HOH non-polymer
+ATP non-polymer
+#
+"""
+    md = extract_metadata(text, is_text=True)
+    assert md["method"] == "X-RAY DIFFRACTION"
+    assert md["resolution"] == 1.85
+    assert md["pH"] == 7.4
+    assert md["temperature_K"] == 100.0
+    assert md["ligands"] == "ATP"
+
+
+def test_crosspdb_end_to_end_offline(tmp_path):
+    """Full offline build with cross-PDB augmentation from local fixture
+    candidates: base NMR mmCIF + rigidly-transformed X-ray candidate ->
+    populated /crosspdb group (coords + torsions + provenance) -> dataset
+    consumes the extra conformers as pair partners (VERDICT item #1)."""
+    import h5py
+
+    from protein_ensemble_vae_tpu.dataprep.pipeline import build_from_files
+
+    base_text, seq = _fake_mmcif(K=3, L=60, seed=3)
+    base_cif = str(tmp_path / "test.cif")
+    with open(base_cif, "w") as f:
+        f.write(base_text)
+
+    # candidate: single-model entry of the same protein, rigidly moved
+    cand_text, _ = _fake_mmcif(K=1, L=60, seed=3, jitter=0.0)
+    cand_cif = str(tmp_path / "cand1.cif")
+    with open(cand_cif, "w") as f:
+        f.write(cand_text + "\n_exptl.method 'X-RAY DIFFRACTION'\n")
+
+    out = str(tmp_path / "out")
+    manifests = build_from_files(
+        [base_cif], out, verbose=False,
+        crosspdb_cifs={"test": [cand_cif]})
+
+    h5_path = os.path.join(out, "h5", "test_A_nmr.h5")
+    with h5py.File(h5_path, "r") as fh:
+        assert "crosspdb" in fh
+        g = fh["crosspdb"]
+        assert g["coords_ca"].shape[0] == 1
+        assert g["coords_N"].shape == g["coords_ca"].shape
+        assert g["torsion_phi_sincos"].shape == (1, 60, 2)
+        sources = json.loads(g.attrs["sources"])
+        assert sources[0]["source"] == "cand1:A"
+        assert sources[0]["identity"] >= 0.95
+        assert sources[0]["method"] == "X-RAY DIFFRACTION"
+
+    # single-entry builds land in the test split under the 80/10/10 rule;
+    # point a manifest straight at the H5
+    manifest = str(tmp_path / "manifest.csv")
+    with open(manifest, "w") as f:
+        f.write(f"h5_path\n{h5_path}\n")
+    del manifests
+    ds_plain = EnsembleDataset(manifest, use_seqemb=False)
+    ds_cross = EnsembleDataset(manifest, use_seqemb=False,
+                               use_crosspdb=True)
+    assert len(ds_cross.conformers) == len(ds_plain.conformers) + 1
+    # pairs grow: C(4,2) = 6 vs C(3,2) = 3
+    assert len(ds_cross) == 6 and len(ds_plain) == 3
+    inp, tgt = ds_cross[len(ds_cross) - 1]
+    assert np.isfinite(inp["ca"]).all() and np.isfinite(tgt["ca"]).all()
+
+
+def test_discover_crosspdb_online_mocked(tmp_path, monkeypatch):
+    """Online path with a mocked RCSB: accession extraction -> search ->
+    download -> candidate dicts, self excluded (prepare_data.py:715-760)."""
+    from protein_ensemble_vae_tpu.dataprep import pipeline as pl
+
+    base_text, _ = _fake_mmcif(K=2, L=60, seed=5)
+    base_cif = str(tmp_path / "base.cif")
+    with open(base_cif, "w") as f:
+        f.write(base_text + "\n" + _STRUCT_REF_KV)
+
+    cand_text, _ = _fake_mmcif(K=1, L=60, seed=5, jitter=0.0)
+
+    client = pl.RCSBClient()
+
+    def fake_request(url, payload=None):
+        assert payload is not None
+        accs = payload["query"]["nodes"][1]["parameters"]["value"]
+        assert accs == ["P0A9X9"]
+        return json.dumps({"result_set": [
+            {"identifier": "BASE"}, {"identifier": "CAN1"},
+            {"identifier": "CAN1"}]}).encode()
+
+    def fake_download(pdb_id, dest_dir):
+        os.makedirs(dest_dir, exist_ok=True)
+        p = os.path.join(dest_dir, f"{pdb_id}.cif")
+        with open(p, "w") as f:
+            f.write(cand_text)
+        return p
+
+    monkeypatch.setattr(client, "_request", fake_request)
+    monkeypatch.setattr(client, "download_mmcif", fake_download)
+
+    cands = pl.discover_crosspdb("base", base_cif, client,
+                                 str(tmp_path / "raw"))
+    assert len(cands) == 1          # self dropped, duplicate deduped
+    assert cands[0]["source"] == "can1:A"
+    assert cands[0]["coords_ca"].shape == (1, 60, 3)
 
 
 def test_crosspdb_augmentation():
