@@ -5,12 +5,13 @@ representations of ``esm2_t33_650M_UR50D`` with CLS/EOS stripped, written
 gzip'd with metadata (incl. sequence md5) into
 ``seq_embed/esm2_t33_650M_UR50D/layer_33`` of each H5.
 
-The reference uses fair-esm; here the HuggingFace port
-(``facebook/esm2_t33_650M_UR50D`` via transformers, jax/torch backend
-agnostic through torch CPU) is used. Model download requires network or a
-local HF cache — absent both, a clear error tells the user the training
-path only *reads* precomputed embeddings, so any machine with the model can
-produce them once.
+The reference runs fair-esm/PyTorch; here the default backend is the
+**frozen JAX forward** (``models/esm2.esm2_forward`` — jitted, runs on the
+TPU, parity-tested vs HF torch to <= 1e-4 in tests/test_esm2.py) with the
+HF-torch path as fallback (``backend="torch"``). Either way the checkpoint
+weights come from the HF hub cache (``facebook/esm2_t33_650M_UR50D``);
+absent that, a clear error notes the training path only *reads* precomputed
+embeddings, so any machine with the model can produce them once.
 """
 
 from __future__ import annotations
@@ -26,9 +27,27 @@ MODEL_NAME = "facebook/esm2_t33_650M_UR50D"
 GROUP = "seq_embed/esm2_t33_650M_UR50D/layer_33"
 MAX_TOKENS = 1022  # reference guard, esm_embeddings.py:37-38
 
+_LOAD_HINT = ("could not load {name} (network/HF cache needed). "
+              "Note: training only READS precomputed embeddings from H5 — "
+              "run this step on a machine with the model available.")
+
 
 class ESMEmbedder:
-    def __init__(self, model_name: str = MODEL_NAME, device: str = "cpu"):
+    """backend="jax" (default): frozen jitted JAX forward on the default
+    device (TPU when present). backend="torch": HF EsmModel on CPU/GPU."""
+
+    def __init__(self, model_name: str = MODEL_NAME, device: str = "cpu",
+                 backend: str = "jax"):
+        self.backend = backend
+        if backend == "jax":
+            from protein_ensemble_vae_tpu.models.esm2 import (
+                ESM2Embedder, load_hf_esm2)
+            try:
+                params, cfg = load_hf_esm2(model_name)
+            except Exception as e:  # noqa: BLE001
+                raise RuntimeError(_LOAD_HINT.format(name=model_name)) from e
+            self._jax = ESM2Embedder(params, cfg)
+            return
         try:
             import torch
             from transformers import AutoTokenizer, EsmModel
@@ -39,10 +58,7 @@ class ESMEmbedder:
             self.tokenizer = AutoTokenizer.from_pretrained(model_name)
             self.model = EsmModel.from_pretrained(model_name)
         except Exception as e:
-            raise RuntimeError(
-                f"could not load {model_name} (network/HF cache needed). "
-                "Note: training only READS precomputed embeddings from H5 — "
-                "run this step on a machine with the model available.") from e
+            raise RuntimeError(_LOAD_HINT.format(name=model_name)) from e
         self.model.eval().to(device)
         self.device = device
         self.torch = torch
@@ -52,6 +68,8 @@ class ESMEmbedder:
         if len(sequence) > MAX_TOKENS:
             raise ValueError(f"sequence length {len(sequence)} exceeds ESM-2 "
                              f"cap {MAX_TOKENS}")
+        if self.backend == "jax":
+            return self._jax.embed(sequence)
         toks = self.tokenizer(sequence, return_tensors="pt")
         toks = {k: v.to(self.device) for k, v in toks.items()}
         with self.torch.no_grad():

@@ -1,0 +1,125 @@
+"""ESM-2 JAX forward parity vs HuggingFace torch (offline: random-weight
+tiny configs — the conversion + architecture must match to <= 1e-4, which is
+what makes the real t33 checkpoint load-and-match too)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from protein_ensemble_vae_tpu.models.esm2 import (  # noqa: E402
+    CLS_ID,
+    EOS_ID,
+    ESM2Config,
+    ESM2Embedder,
+    ESM2_TOKENS,
+    PAD_ID,
+    convert_hf_state_dict,
+    esm2_forward,
+    tokenize,
+)
+
+
+def _tiny_hf_model(seed=0, hidden=64, layers=2, heads=4):
+    from transformers import EsmConfig
+    from transformers.models.esm.modeling_esm import EsmModel
+
+    torch.manual_seed(seed)
+    cfg = EsmConfig(
+        vocab_size=33, hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=heads, intermediate_size=hidden * 4,
+        max_position_embeddings=128, position_embedding_type="rotary",
+        token_dropout=True, emb_layer_norm_before=False,
+        pad_token_id=PAD_ID, mask_token_id=32, layer_norm_eps=1e-5,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    model = EsmModel(cfg, add_pooling_layer=False)
+    model.eval()
+    return model, cfg
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model, cfg = _tiny_hf_model()
+    params, jcfg = convert_hf_state_dict(model.state_dict())
+    jcfg = ESM2Config(vocab_size=33, hidden=cfg.hidden_size,
+                      num_layers=cfg.num_hidden_layers,
+                      num_heads=cfg.num_attention_heads,
+                      intermediate=cfg.intermediate_size)
+    return model, params, jcfg
+
+
+def test_esm2_forward_parity(tiny, rng):
+    model, params, jcfg = tiny
+    B, T = 2, 18
+    toks = rng.integers(4, 24, (B, T)).astype(np.int64)
+    toks[:, 0] = CLS_ID
+    toks[0, -1] = EOS_ID
+    toks[1, 12:] = PAD_ID   # ragged batch
+    toks[1, 11] = EOS_ID
+    amask = (toks != PAD_ID).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(toks),
+                    attention_mask=torch.from_numpy(amask)
+                    ).last_hidden_state.numpy()
+    ours = np.asarray(esm2_forward(params, jnp.asarray(toks),
+                                   jnp.asarray(amask), jcfg))
+    valid = amask > 0.5
+    np.testing.assert_allclose(ours[valid], ref[valid], atol=1e-4)
+
+
+def test_esm2_forward_parity_with_mask_tokens(tiny, rng):
+    """The token-dropout rescale path: <mask> tokens change the global
+    embedding scale — must match HF exactly."""
+    model, params, jcfg = tiny
+    toks = rng.integers(4, 24, (1, 16)).astype(np.int64)
+    toks[0, 0] = CLS_ID
+    toks[0, -1] = EOS_ID
+    toks[0, 5] = 32   # <mask>
+    amask = np.ones((1, 16), np.float32)
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(toks),
+                    attention_mask=torch.from_numpy(amask)
+                    ).last_hidden_state.numpy()
+    ours = np.asarray(esm2_forward(params, jnp.asarray(toks),
+                                   jnp.asarray(amask), jcfg))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_tokenizer_matches_hf(tmp_path):
+    """Our hardcoded alphabet == the HF EsmTokenizer built from the same
+    vocab (the standard fair-esm alphabet, esm_embeddings.py:17-23)."""
+    from transformers import EsmTokenizer
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(ESM2_TOKENS) + "\n")
+    tok = EsmTokenizer(str(vocab))
+    seq = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"
+    ref_ids = tok(seq)["input_ids"]
+    np.testing.assert_array_equal(tokenize(seq), np.asarray(ref_ids))
+
+
+def test_embedder_bucketing_invariance(tiny):
+    """Padding to a bucket must not change the (masked) per-residue reps."""
+    model, params, jcfg = tiny
+    emb = ESM2Embedder(params, jcfg)
+    seq = "MKTAYIAKQRQISFVKSHFSRQ"
+    reps = emb.embed(seq)
+    assert reps.shape == (len(seq), jcfg.hidden)
+
+    ids = tokenize(seq)
+    toks = jnp.asarray(ids[None].astype(np.int32))
+    amask = jnp.ones_like(toks, jnp.float32)
+    direct = np.asarray(esm2_forward(params, toks, amask, jcfg))[0, 1:-1]
+    np.testing.assert_allclose(reps, direct, atol=1e-4)
+
+
+def test_embedder_length_cap(tiny):
+    model, params, jcfg = tiny
+    import dataclasses
+    emb = ESM2Embedder(params, dataclasses.replace(jcfg, max_tokens=16))
+    with pytest.raises(ValueError):
+        emb.embed("A" * 20)
