@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num_samples", type=int, default=10)
     ap.add_argument("--max_structures", type=int, default=None)
     ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--seq_decode", default="argmax",
+                    choices=["argmax", "sample", "threshold"],
+                    help="sequence decode mode "
+                         "(reference sequence_utils.py:44-70)")
     ap.add_argument("--seed", type=int, default=0)
     return ap
 
@@ -63,7 +67,8 @@ def main(argv=None):
                              seed=args.seed,
                              max_structures=args.max_structures,
                              buckets=cfg.train.bucket_sizes,
-                             temperature=args.temperature)
+                             temperature=args.temperature,
+                             seq_decode=args.seq_decode)
     print(f"[generate] wrote {len(out['results'])} structures to "
           f"{args.output_dir}; summary: {out['summary_path']}")
 

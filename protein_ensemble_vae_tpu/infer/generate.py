@@ -29,6 +29,7 @@ import numpy as np
 
 from protein_ensemble_vae_tpu.config import IDX_TO_AA
 from protein_ensemble_vae_tpu.data.collate import bucket_for
+from protein_ensemble_vae_tpu.infer.sequence import logits_to_labels
 from protein_ensemble_vae_tpu.infer.gate import validate_protein_geometry
 from protein_ensemble_vae_tpu.infer.pdb_io import write_multi_model_pdb, write_pdb
 from protein_ensemble_vae_tpu.models.vae import HierCVAE
@@ -56,6 +57,7 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                        max_structures: Optional[int] = None,
                        buckets=(64, 128, 192, 256, 320, 384, 448, 512, 576, 640),
                        temperature: float = 1.0,
+                       seq_decode: str = "argmax",
                        verbose: bool = True) -> dict:
     os.makedirs(output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(seed)
@@ -88,7 +90,9 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
         rec_n, rec_ca, rec_c, rec_seq = _decode_jit(model, variables, z_g,
                                                     z_l, mask_j)
 
-        pred_labels = np.asarray(jnp.argmax(rec_seq[0], -1))
+        rng, seq_rng = jax.random.split(rng)
+        pred_labels = np.asarray(logits_to_labels(rec_seq[0], seq_decode,
+                                                  rng=seq_rng))
         true_labels = _pad(item["seq_labels"], L_pad)
         valid = mask > 0.5
         seq_recovery = float((pred_labels[valid] == true_labels[valid]).mean())
