@@ -70,7 +70,20 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["float32", "bfloat16"])
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--multihost", action="store_true",
+                    help="call jax.distributed.initialize() before backend "
+                         "init; dp then spans all hosts' devices and each "
+                         "process feeds its own batch shard")
+    ap.add_argument("--coordinator_address", default=None,
+                    help="host:port of process 0 (auto-discovered on TPU "
+                         "pod slices)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
 
+    ap.add_argument("--prepad_host_batches", type=int, default=1,
+                    help="1: pad every conformer once and assemble epoch "
+                         "batches by numpy gathers (same batches, no "
+                         "per-epoch Python pad loops); 0: pad per batch")
     ap.add_argument("--early_stopping_patience", type=int, default=20)
     ap.add_argument("--early_stopping_metric", type=str, default="rec",
                     choices=["rec", "loss", "rmsd"])
@@ -100,6 +113,13 @@ def main(argv=None):
 
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        # must precede first backend use; after it jax.devices() spans hosts
+        from protein_ensemble_vae_tpu.parallel import initialize_multihost
+        initialize_multihost(coordinator_address=args.coordinator_address,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
 
     if args.config:
         # preset JSON provides defaults; explicit CLI flags win
@@ -160,13 +180,32 @@ def main(argv=None):
                                   "train": cfg.train.__dict__})
 
     jit_wrapper = None
+    make_batches = None
     if args.dp > 1 or args.tp > 1:
+        import jax
+
         from protein_ensemble_vae_tpu.parallel import make_mesh, make_parallel_jit
         from protein_ensemble_vae_tpu.parallel.mesh import ensure_cpu_devices
         ensure_cpu_devices(args.dp * args.tp)
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         jit_wrapper = make_parallel_jit(mesh, use_tp=args.tp > 1)
-        logger.info(f"[mesh] dp={args.dp} tp={args.tp}")
+        logger.info(f"[mesh] dp={args.dp} tp={args.tp} "
+                    f"processes={jax.process_count()}")
+        if jax.process_count() > 1:
+            # each host feeds its own shard; the mesh wrapper assembles the
+            # global dp batch from the per-process locals
+            import functools
+
+            from protein_ensemble_vae_tpu.data.collate import (
+                make_sharded_epoch_batches)
+            make_batches = functools.partial(
+                make_sharded_epoch_batches,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
+
+    if make_batches is None and args.prepad_host_batches:
+        from protein_ensemble_vae_tpu.data.collate import make_prepadded_factory
+        make_batches = make_prepadded_factory()
 
     def checkpoint_fn(state, epoch, loss_history, meta):
         tag = "best" if meta.get("best") else f"epoch{epoch:05d}"
@@ -197,7 +236,8 @@ def main(argv=None):
                                  jit_wrapper=jit_wrapper,
                                  start_epoch=start_epoch,
                                  init_state=init_state,
-                                 checkpoint_fn=checkpoint_fn)
+                                 checkpoint_fn=checkpoint_fn,
+                                 make_batches=make_batches)
 
     final_path = os.path.join(args.save, "final")
     save_checkpoint(final_path, state, cfg,

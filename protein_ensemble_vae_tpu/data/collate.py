@@ -69,19 +69,13 @@ def pad_conformers(items: Sequence[dict], L_pad: int,
                           dihedrals=dih, seq_labels=labels)
 
 
-def make_epoch_batches(dataset, batch_size: int,
-                       buckets: Sequence[int],
-                       shuffle: bool,
-                       seed: int,
-                       drop_remainder: bool = False,
-                       ) -> Iterator[PairBatch]:
-    """Yield PairBatches grouped by length bucket.
+def _make_chunks(dataset, batch_size: int, buckets: Sequence[int],
+                 shuffle: bool, seed: int, drop_remainder: bool,
+                 ) -> list[tuple[int, list[int]]]:
+    """Deterministic (bucket, index-chunk) plan for one epoch.
 
-    With ``drop_remainder`` the trailing partial batch of each bucket is
-    dropped (use for throughput-critical training to keep one compiled shape
-    per bucket); otherwise partial batches compile one extra variant each.
-    """
-    seqemb_dim = dataset.seqemb_dim if dataset.use_seqemb else None
+    The plan depends only on (dataset order, batch_size, buckets, seed) so
+    every process of a multi-host run computes the identical list."""
     by_bucket: dict[int, list[int]] = {}
     for idx in range(len(dataset)):
         b = bucket_for(dataset.pair_length(idx), buckets)
@@ -103,9 +97,191 @@ def make_epoch_batches(dataset, batch_size: int,
             chunks.append((b, chunk))
     if shuffle:
         rng.shuffle(chunks)
+    return chunks
 
+
+def _emit_batches(dataset, chunks, seqemb_dim) -> Iterator[PairBatch]:
     for L_pad, chunk in chunks:
         pairs = [dataset[i] for i in chunk]
         inp = pad_conformers([p[0] for p in pairs], L_pad, seqemb_dim)
         tgt = pad_conformers([p[1] for p in pairs], L_pad, seqemb_dim)
         yield PairBatch(inp=inp, tgt=tgt)
+
+
+def make_epoch_batches(dataset, batch_size: int,
+                       buckets: Sequence[int],
+                       shuffle: bool,
+                       seed: int,
+                       drop_remainder: bool = False,
+                       ) -> Iterator[PairBatch]:
+    """Yield PairBatches grouped by length bucket.
+
+    With ``drop_remainder`` the trailing partial batch of each bucket is
+    dropped (use for throughput-critical training to keep one compiled shape
+    per bucket); otherwise partial batches compile one extra variant each.
+    """
+    seqemb_dim = dataset.seqemb_dim if dataset.use_seqemb else None
+    chunks = _make_chunks(dataset, batch_size, buckets, shuffle, seed,
+                          drop_remainder)
+    return _emit_batches(dataset, chunks, seqemb_dim)
+
+
+class PrepaddedStore:
+    """One-time padded cache of every conformer, grouped by length bucket.
+
+    ``make_epoch_batches`` re-pads every batch with Python loops each epoch;
+    on a host with few cores that loop can rival the TPU step time. Here each
+    conformer is processed (centered, labeled) and padded ONCE; per-epoch
+    batch assembly is a handful of numpy fancy-index gathers — C-speed, no
+    per-sample Python. ESM embeddings are stored once per (protein, bucket),
+    not per conformer, which keeps the cache ~K× smaller than naive
+    prepadding (K = conformers per protein).
+
+    Epoch semantics (chunk plan, shuffling, drop_remainder) are identical to
+    ``make_epoch_batches`` — both build on ``_make_chunks``.
+    """
+
+    def __init__(self, dataset, buckets: Sequence[int]):
+        self.dataset = dataset
+        self.buckets = tuple(buckets)
+        self.seqemb_dim = dataset.seqemb_dim if dataset.use_seqemb else None
+
+        by_bucket: dict[int, list[int]] = {}
+        for idx in range(len(dataset)):
+            b = bucket_for(dataset.pair_length(idx), buckets)
+            by_bucket.setdefault(b, []).append(idx)
+
+        self.store: dict[int, dict] = {}
+        for b, pair_ids in by_bucket.items():
+            conf_ids = sorted({c for p in pair_ids
+                               for c in dataset.pairs[p]})
+            row_of = {c: r for r, c in enumerate(conf_ids)}
+            C = len(conf_ids)
+            n = np.zeros((C, b, 3), np.float32)
+            ca = np.zeros((C, b, 3), np.float32)
+            cc = np.zeros((C, b, 3), np.float32)
+            mask = np.zeros((C, b), np.float32)
+            dih = np.zeros((C, b, 6), np.float32)
+            labels = np.zeros((C, b), np.int32)
+            embs: list[np.ndarray] = []
+            emb_row_of_protein: dict[str, int] = {}
+            emb_row = np.zeros(C, np.int64)
+            from protein_ensemble_vae_tpu.data.dataset import process_conformer
+            for r, cid in enumerate(conf_ids):
+                conf = dataset.conformers[cid]
+                item = process_conformer(conf)
+                L = item["mask"].shape[0]
+                n[r, :L] = item["n"]
+                ca[r, :L] = item["ca"]
+                cc[r, :L] = item["c"]
+                mask[r, :L] = item["mask"]
+                dih[r, :L] = item["dihedrals"]
+                labels[r, :L] = item["seq_labels"]
+                if self.seqemb_dim:
+                    pid = conf.protein_id
+                    if pid not in emb_row_of_protein:
+                        e = np.zeros((b, self.seqemb_dim), np.float32)
+                        if item["seq_emb"] is not None:
+                            e[:L] = item["seq_emb"][:L]
+                        emb_row_of_protein[pid] = len(embs)
+                        embs.append(e)
+                    emb_row[r] = emb_row_of_protein[pid]
+            self.store[b] = dict(
+                n=n, ca=ca, c=cc, mask=mask, dih=dih, labels=labels,
+                emb=np.stack(embs) if embs else None, emb_row=emb_row,
+                row_of=row_of)
+
+    def _gather(self, st: dict, rows: np.ndarray) -> ConformerBatch:
+        emb = None
+        if st["emb"] is not None:
+            emb = st["emb"][st["emb_row"][rows]]
+        return ConformerBatch(
+            n=st["n"][rows], ca=st["ca"][rows], c=st["c"][rows],
+            mask=st["mask"][rows], seq_emb=emb,
+            dihedrals=st["dih"][rows], seq_labels=st["labels"][rows])
+
+    def epoch_batches(self, batch_size: int, shuffle: bool, seed: int,
+                      drop_remainder: bool = False) -> Iterator[PairBatch]:
+        chunks = _make_chunks(self.dataset, batch_size, self.buckets,
+                              shuffle, seed, drop_remainder)
+        pairs = self.dataset.pairs
+        for b, chunk in chunks:
+            st = self.store[b]
+            rows_i = np.fromiter((st["row_of"][pairs[p][0]] for p in chunk),
+                                 np.int64, len(chunk))
+            rows_j = np.fromiter((st["row_of"][pairs[p][1]] for p in chunk),
+                                 np.int64, len(chunk))
+            yield PairBatch(inp=self._gather(st, rows_i),
+                            tgt=self._gather(st, rows_j))
+
+
+def make_prepadded_factory():
+    """Drop-in replacement for ``make_epoch_batches`` with a per-dataset
+    PrepaddedStore cache (built on first use, reused every epoch)."""
+    cache: dict = {}
+
+    def factory(dataset, batch_size, buckets, shuffle, seed,
+                drop_remainder: bool = False):
+        key = (id(dataset), tuple(buckets))
+        if key not in cache:
+            cache[key] = PrepaddedStore(dataset, buckets)
+        return cache[key].epoch_batches(batch_size, shuffle, seed,
+                                        drop_remainder)
+
+    return factory
+
+
+def make_sharded_epoch_batches(dataset, batch_size: int,
+                               buckets: Sequence[int],
+                               shuffle: bool,
+                               seed: int,
+                               drop_remainder: bool = True,
+                               process_index: int = 0,
+                               process_count: int = 1,
+                               ) -> Iterator[PairBatch]:
+    """Per-process epoch batches for multi-host training.
+
+    Every process computes the same deterministic chunk plan, then takes its
+    stride of each bucket's chunks, truncated so all processes hold the SAME
+    number of chunks per bucket in the SAME bucket order. Before the stride,
+    sample membership is shuffled per bucket with a host-identical RNG; after
+    it, one host-identical permutation reorders positions. Since position i
+    carries the same bucket on every host both before and after that shared
+    permutation, step i has the same padded shape everywhere — which the
+    global ``make_array_from_process_local_data`` assembly requires.
+    """
+    seqemb_dim = dataset.seqemb_dim if dataset.use_seqemb else None
+    # intra-bucket order must be identical on all processes before striding:
+    # build unshuffled, stride, then shuffle positions identically.
+    chunks = _make_chunks(dataset, batch_size, buckets, shuffle=False,
+                          seed=seed, drop_remainder=True)
+    if shuffle:
+        # shuffle sample membership deterministically (same on all hosts)
+        rng = np.random.default_rng(seed)
+        by_bucket: dict[int, list[list[int]]] = {}
+        for b, c in chunks:
+            by_bucket.setdefault(b, []).append(c)
+        ids_by_bucket = {b: [i for c in cs for i in c]
+                         for b, cs in by_bucket.items()}
+        for b in sorted(ids_by_bucket):
+            rng.shuffle(ids_by_bucket[b])
+        chunks = []
+        for b in sorted(ids_by_bucket):
+            ids = ids_by_bucket[b]
+            for s in range(0, len(ids) - batch_size + 1, batch_size):
+                chunks.append((b, ids[s:s + batch_size]))
+
+    by_bucket2: dict[int, list[tuple[int, list[int]]]] = {}
+    for b, c in chunks:
+        by_bucket2.setdefault(b, []).append((b, c))
+    mine: list[tuple[int, list[int]]] = []
+    for b in sorted(by_bucket2):
+        cs = by_bucket2[b]
+        per = len(cs) // process_count
+        mine.extend(cs[process_index::process_count][:per])
+
+    if shuffle:
+        # identical position permutation on every process
+        perm = np.random.default_rng(seed + 1).permutation(len(mine))
+        mine = [mine[i] for i in perm]
+    return _emit_batches(dataset, mine, seqemb_dim)

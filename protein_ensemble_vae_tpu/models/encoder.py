@@ -73,7 +73,7 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dropout_rate=self.dropout, dtype=self.dtype,
-            name="self_attn")(h, inputs_k=h, inputs_v=h, mask=attn_mask,
+            name="self_attn")(h, inputs_k=h, mask=attn_mask,
                               deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
@@ -131,7 +131,7 @@ class DihedralAwareEncoder(nn.Module):
         attn_out = nn.MultiHeadDotProductAttention(
             num_heads=max(self.nhead // 2, 1), dropout_rate=self.dropout,
             dtype=self.dtype, name="geometric_attention")(
-                feats, inputs_k=feats, inputs_v=feats,
+                feats, inputs_k=feats,
                 mask=_key_padding_mask(mask), deterministic=deterministic)
         feats = feats + geom_scale.astype(self.dtype) * attn_out
 
@@ -177,7 +177,7 @@ class HierLatent(nn.Module):
 
         pooled = nn.MultiHeadDotProductAttention(
             num_heads=4, dropout_rate=self.dropout, dtype=self.dtype,
-            name="global_attention")(q, inputs_k=H, inputs_v=H,
+            name="global_attention")(q, inputs_k=H,
                                      mask=_key_padding_mask(mask),
                                      deterministic=deterministic)
         pooled = pooled[:, 0]                                   # [B, d]

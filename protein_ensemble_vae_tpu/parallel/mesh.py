@@ -51,6 +51,23 @@ def ensure_cpu_devices(n: int) -> None:
         pass
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host entry: ``jax.distributed.initialize`` (SURVEY §2.7/§5.8).
+
+    Must run before any backend use. On TPU pod slices every argument
+    auto-discovers from the metadata server, so a bare call is the common
+    case; the explicit kwargs cover CPU/GPU clusters. Safe to call once per
+    process; raises if the backend is already initialized.
+    """
+    kwargs = {k: v for k, v in dict(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id).items() if v is not None}
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     """Create a (dp, tp) mesh. dp*tp must not exceed available devices."""
     devices = devices if devices is not None else jax.devices()
@@ -121,6 +138,13 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
         jitted = {}
 
         def call(state, batch, rng, klw_g, klw_l, lr):
+            if jax.process_count() > 1:
+                # multi-host: each process holds its local batch shard; the
+                # global array spanning the mesh is assembled from the
+                # per-process locals (dp axis = concat over processes).
+                batch = jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        batch_sh, np.asarray(x)), batch)
             key = "k"
             if key not in jitted:
                 if use_tp and mesh.shape["tp"] > 1:

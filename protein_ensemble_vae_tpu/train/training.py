@@ -154,8 +154,15 @@ def make_train_step(model: HierCVAE, weights: LossWeights, train: bool,
 
 def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
               rng: Array, klw_g: float, klw_l: float, lr: float,
-              seqemb_dim: int) -> tuple[TrainState, dict[str, float]]:
-    """One epoch. Metric sums stay on device; one host fetch at the end."""
+              seqemb_dim: int, dp: int = 1,
+              fallback_step_fn: Optional[Callable] = None,
+              ) -> tuple[TrainState, dict[str, float]]:
+    """One epoch. Metric sums stay on device; one host fetch at the end.
+
+    Under dp-sharding (``dp > 1``) a batch whose size isn't divisible by the
+    mesh can't take the ``P("dp")`` sharding; such batches run through
+    ``fallback_step_fn`` (a plain-jit step) instead of being dropped, so
+    eval statistics cover every sample exactly."""
     from protein_ensemble_vae_tpu.data.prefetch import prefetch_to_device
 
     sums: Optional[dict] = None
@@ -167,11 +174,14 @@ def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
     converted = (_batch_to_arrays(pb, seqemb_dim) for pb in batches)
     for batch_idx, batch in enumerate(prefetch_to_device(converted, size=2)):
         bs = batch["tgt"]["ca"].shape[0]
+        fn = step_fn
+        if dp > 1 and bs % dp != 0 and fallback_step_fn is not None:
+            fn = fallback_step_fn
         # fold in the batch index so eval batches (which don't advance
         # state.step) still draw fresh reparameterization noise
-        state, metrics = step_fn(state, batch,
-                                 jax.random.fold_in(rng, batch_idx),
-                                 klw_g, klw_l, lr)
+        state, metrics = fn(state, batch,
+                            jax.random.fold_in(rng, batch_idx),
+                            klw_g, klw_l, lr)
         # a non-finite step is skipped by the optimizer (apply_if_finite);
         # exclude it from the epoch statistics too, all on device
         finite = jnp.isfinite(metrics["loss"]).astype(jnp.float32)
@@ -211,10 +221,14 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
 
     tcfg, lw = run_config.train, run_config.loss
     seqemb_dim = run_config.model.seqemb_dim
+    # ``make_batches`` overrides the epoch-batch factory (same signature as
+    # make_epoch_batches) — the multi-host CLI uses it to stride batches by
+    # process index so each host feeds its own shard.
+    batch_factory = make_batches if make_batches is not None else make_epoch_batches
 
     rng = jax.random.PRNGKey(tcfg.seed)
     if init_state is None:
-        first = next(iter(make_epoch_batches(
+        first = next(iter(batch_factory(
             train_ds, tcfg.batch_size, tcfg.bucket_sizes, False, tcfg.seed)))
         sample = _batch_to_arrays(first, seqemb_dim)["inp"]
         rng, init_rng = jax.random.split(rng)
@@ -228,6 +242,11 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
     eval_step = make_train_step(model, lw, train=False,
                                 grad_clip=tcfg.grad_clip,
                                 jit_wrapper=jit_wrapper)
+    # plain-jit fallback for val batches that don't divide the dp mesh
+    eval_step_fallback = None
+    if tcfg.dp > 1:
+        eval_step_fallback = make_train_step(model, lw, train=False,
+                                             grad_clip=tcfg.grad_clip)
 
     sched_kwargs = dict(warmup_epochs=tcfg.kl_warmup_epochs,
                         n_cycles=tcfg.kl_cycles, ratio=tcfg.kl_ratio)
@@ -259,19 +278,22 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
         lr = plateau.lr
 
         rng, tr_rng, va_rng = jax.random.split(rng, 3)
-        # dp-sharded batches need a batch dim divisible by the mesh; drop
-        # trailing partial batches then (documented in DEVIATIONS.md)
+        # dp-sharded TRAIN batches need a batch dim divisible by the mesh;
+        # trailing partial batches are dropped there (one compiled shape per
+        # bucket, documented in DEVIATIONS.md). VAL keeps every sample: the
+        # indivisible trailing batch runs through the plain-jit fallback.
         drop = tcfg.dp > 1
-        tr_batches = make_epoch_batches(
+        tr_batches = batch_factory(
             train_ds, tcfg.batch_size, tcfg.bucket_sizes, True,
             tcfg.seed + epoch, drop_remainder=drop)
         state, tr = run_epoch(state, train_step, tr_batches, tr_rng,
                               klw_g, klw_l, lr, seqemb_dim)
-        va_batches = make_epoch_batches(
+        va_batches = batch_factory(
             val_ds, tcfg.batch_size, tcfg.bucket_sizes, False, tcfg.seed,
-            drop_remainder=drop)
+            drop_remainder=False)
         _, va = run_epoch(state, eval_step, va_batches, va_rng,
-                          klw_g, klw_l, lr, seqemb_dim)
+                          klw_g, klw_l, lr, seqemb_dim, dp=tcfg.dp,
+                          fallback_step_fn=eval_step_fallback)
 
         for k in EPOCH_METRICS:
             loss_history["train"][k].append(tr[k])

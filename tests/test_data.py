@@ -88,3 +88,68 @@ def test_no_seqemb_mode(synthetic):
     ds = EnsembleDataset(train_csv, use_seqemb=False)
     batches = list(make_epoch_batches(ds, 2, (32, 64), False, 0))
     assert batches[0].inp.seq_emb is None
+
+
+def _sample_keys(batch):
+    """Hashable identity of each sample row in a PairBatch (a pair is its
+    (input, target) conformer combination — inputs alone repeat across
+    pairs of the same protein)."""
+    return [batch.inp.ca[i].tobytes() + batch.tgt.ca[i].tobytes()
+            for i in range(batch.inp.ca.shape[0])]
+
+
+def test_sharded_epoch_batches_align_and_partition(synthetic):
+    from protein_ensemble_vae_tpu.data.collate import make_sharded_epoch_batches
+
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    per_proc = []
+    for p in range(2):
+        per_proc.append(list(make_sharded_epoch_batches(
+            ds, 2, (24, 32, 64), shuffle=True, seed=11,
+            process_index=p, process_count=2)))
+    # same number of steps and identical padded shape at every step index
+    assert len(per_proc[0]) == len(per_proc[1]) > 0
+    for b0, b1 in zip(*per_proc):
+        assert b0.inp.ca.shape == b1.inp.ca.shape
+        assert b0.inp.ca.shape[0] == 2  # always full batches
+    # processes see disjoint samples
+    s0 = {k for b in per_proc[0] for k in _sample_keys(b)}
+    s1 = {k for b in per_proc[1] for k in _sample_keys(b)}
+    assert s0 and s1 and not (s0 & s1)
+
+
+def test_sharded_epoch_batches_deterministic(synthetic):
+    from protein_ensemble_vae_tpu.data.collate import make_sharded_epoch_batches
+
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    a = [b.inp.ca.sum() for b in make_sharded_epoch_batches(
+        ds, 2, (32, 64), True, 5, process_index=0, process_count=2)]
+    b = [b.inp.ca.sum() for b in make_sharded_epoch_batches(
+        ds, 2, (32, 64), True, 5, process_index=0, process_count=2)]
+    assert a == b
+
+
+def test_prepadded_factory_matches_collate(synthetic):
+    from protein_ensemble_vae_tpu.data.collate import make_prepadded_factory
+
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+    factory = make_prepadded_factory()
+    for shuffle, drop in ((False, False), (True, True)):
+        ref = list(make_epoch_batches(ds, 3, (24, 32, 64), shuffle, 9,
+                                      drop_remainder=drop))
+        got = list(factory(ds, 3, (24, 32, 64), shuffle, 9,
+                           drop_remainder=drop))
+        assert len(ref) == len(got) > 0
+        for rb, gb in zip(ref, got):
+            for side in ("inp", "tgt"):
+                r, g = getattr(rb, side), getattr(gb, side)
+                np.testing.assert_array_equal(r.n, g.n)
+                np.testing.assert_array_equal(r.ca, g.ca)
+                np.testing.assert_array_equal(r.c, g.c)
+                np.testing.assert_array_equal(r.mask, g.mask)
+                np.testing.assert_array_equal(r.dihedrals, g.dihedrals)
+                np.testing.assert_array_equal(r.seq_labels, g.seq_labels)
+                np.testing.assert_array_equal(r.seq_emb, g.seq_emb)

@@ -102,3 +102,48 @@ def test_dryrun_multichip_entry():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_run_epoch_val_fallback_covers_partial_batches():
+    """Under dp>1, an indivisible val batch runs through the plain-jit
+    fallback instead of being dropped; stats cover every sample exactly."""
+    from protein_ensemble_vae_tpu.data.collate import ConformerBatch, PairBatch
+    from protein_ensemble_vae_tpu.train.training import run_epoch
+
+    rng = np.random.default_rng(2)
+    model = HierCVAE(TINY)
+    L = 16
+
+    def pair_batch(B, seed):
+        r = np.random.default_rng(seed)
+        conf = ConformerBatch(
+            n=r.normal(0, 3, (B, L, 3)).astype(np.float32),
+            ca=r.normal(0, 3, (B, L, 3)).astype(np.float32),
+            c=r.normal(0, 3, (B, L, 3)).astype(np.float32),
+            mask=np.ones((B, L), np.float32),
+            seq_emb=r.normal(0, 1, (B, L, TINY.seqemb_dim)).astype(np.float32),
+            dihedrals=r.normal(0, 1, (B, L, 6)).astype(np.float32),
+            seq_labels=np.zeros((B, L), np.int32))
+        return PairBatch(inp=conf, tgt=conf)
+
+    init = _batch(rng, 4, L, TINY)
+    state = create_train_state(model, jax.random.PRNGKey(0), init["inp"])
+
+    mesh = make_mesh(dp=4, tp=1)
+    eval_mesh = make_train_step(model, LossWeights(), train=False,
+                                jit_wrapper=make_parallel_jit(mesh,
+                                                              use_tp=False))
+    eval_plain = make_train_step(model, LossWeights(), train=False)
+
+    batches = [pair_batch(4, 10), pair_batch(3, 11)]  # 3 % 4 != 0
+    _, stats = run_epoch(state, eval_mesh, iter(batches),
+                         jax.random.PRNGKey(7), 1.0, 0.5, 1e-4,
+                         TINY.seqemb_dim, dp=4, fallback_step_fn=eval_plain)
+
+    # reference: everything through the plain step
+    _, ref = run_epoch(state, eval_plain, iter(batches),
+                       jax.random.PRNGKey(7), 1.0, 0.5, 1e-4,
+                       TINY.seqemb_dim)
+    assert np.isfinite(stats["loss"])
+    np.testing.assert_allclose(stats["loss"], ref["loss"], rtol=2e-4)
+    np.testing.assert_allclose(stats["rec"], ref["rec"], rtol=2e-4)
