@@ -2,17 +2,16 @@
 """Benchmark: full train-step throughput of the flagship HierCVAE.
 
 Prints ONE JSON line. The headline metric is the B4/L256 train step
-(reference default dims); the ``suite`` key carries a small shape suite that
-exercises both compute regimes:
+(reference default dims); the ``suite`` key carries a small shape suite:
 
-  B4/L256   — XLA whole-graph-fusion regime (auto routing keeps Pallas off)
-  B16/L256  — large-batch short-chain regime (XLA; Pallas measured 5.8x
-              slower here, auto must stay off)
-  B2/L640   — long-chain HBM-bound regime with remat (auto routing turns the
-              fused Pallas EGNN band kernel + blocked clash kernel ON)
+  B4/L256   — flagship shape (auto routing: fused Pallas kernels, 1.8x XLA)
+  B16/L256  — large-batch short-chain regime (Pallas, 1.28x)
+  B2/L640   — long-chain HBM-bound regime with remat (Pallas, 2.68x)
 
-so a driver-captured run covers ``ops/pallas/egnn_band.py`` and
-``ops/pallas/clash.py``, not just the XLA path.
+With the default "auto" routing every suite row exercises
+``ops/pallas/egnn_band.py`` and ``ops/pallas/clash.py``; set
+BENCH_PALLAS=0 semantics via ModelConfig if the XLA path must be timed
+(scripts/bench_kernel_grid.py does both sides).
 
 Each row also reports achieved TFLOP/s and MFU from the XLA-compiled cost
 analysis of the jitted step against the v5e bf16 peak (197 TFLOP/s), so
@@ -247,7 +246,7 @@ def get_baseline(B, L, allow_measure=None) -> float:
     return val
 
 
-# (B, L, use_pallas, remat, steps): both XLA regimes + the Pallas regime.
+# (B, L, use_pallas, remat, steps): flagship + large-batch + long-chain.
 SUITE_SHAPES = [
     (4, 256, "auto", False, 20),
     (16, 256, "auto", False, 10),
@@ -260,7 +259,7 @@ def main():
 
     dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
     # Fused Pallas band kernel (BENCH_PALLAS=1): forces the kernel for the
-    # headline row; default "auto" routes per shape (TPU and L >= 512).
+    # headline row; default "auto" routes per shape (TPU, 64-aligned L >= 128).
     headline_pallas = ("auto" if os.environ.get("BENCH_PALLAS", "0") != "1"
                        else True)
     if headline_pallas is True and jax.default_backend() != "tpu":

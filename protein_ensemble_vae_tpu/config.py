@@ -39,8 +39,9 @@ class ModelConfig:
     degree_normalize: bool = True
     decoder_remat: bool = False     # remat EGNN layers (memory vs FLOPs)
     use_pallas_egnn: object = "auto"  # fused band kernel: True|False|"auto"
-                                      # (auto: TPU and L >= 512, where it
-                                      #  measured 2.5x over the XLA path)
+                                      # (auto: TPU and 64-aligned L >= 128,
+                                      #  where it measured 1.3-2.7x over the
+                                      #  XLA path — ops/routing.py)
     use_seqemb: bool = True
     use_dihedrals: bool = True
     num_aa_types: int = 20

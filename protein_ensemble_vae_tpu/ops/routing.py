@@ -7,11 +7,13 @@ from one config knob (``ModelConfig.use_pallas_egnn``) — previously the
 threshold heuristic was duplicated in ``models/decoder.py`` and ``losses.py``
 and the clash side ignored the flag entirely.
 
-Measured regimes (RESULTS.md, single v5e chip):
-- L >= 512 (HBM-bound band regime): fused kernel ~2.5x over XLA; full step
-  17.5x at B2/L640 with remat.
-- short chains / large batches (e.g. B16/L256): XLA whole-graph fusion wins
-  (Pallas was a 5.8x regression) — "auto" must stay off there.
+Measured regimes (RESULTS.md "honest XLA-vs-Pallas grid", single v5e chip,
+scan-differenced synchronous timing — see CLAUDE.md on why async timing
+lies on this tunnel):
+- full-train-step speedups with both kernels on: 1.26x at B8/L128,
+  1.80x at B4/L256, 1.28x at B16/L256, 2.68x at B2/L640+remat;
+- at L = 64 the XLA path wins (16.4 vs 23.5 ms at B16 — per-kernel launch
+  overhead dominates the tiny band), so "auto" keeps Pallas off there.
 """
 
 from __future__ import annotations
@@ -20,10 +22,10 @@ from typing import Optional
 
 import jax
 
-# "auto" enables Pallas only where it measured faster than XLA: long chains
-# on a real TPU. Mosaic tiling requires L % 64 == 0 (sublane alignment of the
-# band blocks); the length-bucket ladder guarantees this for L >= 512.
-PALLAS_AUTO_MIN_L = 512
+# "auto" enables Pallas where it measured faster than XLA: L >= 128 on a
+# real TPU. Mosaic tiling requires L % 64 == 0 (sublane alignment of the
+# band blocks), which the length-bucket ladder guarantees.
+PALLAS_AUTO_MIN_L = 128
 PALLAS_L_MULTIPLE = 64
 
 
@@ -43,7 +45,7 @@ def pallas_policy(L: int, use_pallas: object = "auto",
     - True: forced on (caller asserts shape feasibility; kernels raise on
       unsupported shapes/backends).
     - False/None: forced off everywhere — including the clash kernel.
-    - "auto": on only in the measured-faster regime (TPU, L >= 512, aligned).
+    - "auto": on only in the measured-faster regime (TPU, L >= 128, aligned).
     """
     if use_pallas == "auto":
         return (L >= PALLAS_AUTO_MIN_L and pallas_supported(L, backend))

@@ -11,10 +11,13 @@ from protein_ensemble_vae_tpu.ops.routing import pallas_policy
 
 
 @pytest.mark.parametrize("L,flag,backend,expected", [
-    # auto: only TPU + L >= 512 + 64-aligned
+    # auto: only TPU + L >= 128 + 64-aligned (honest grid, RESULTS.md:
+    # Pallas faster at L128/256/640; XLA faster at L64)
+    (128, "auto", "tpu", True),
+    (256, "auto", "tpu", True),
     (512, "auto", "tpu", True),
     (640, "auto", "tpu", True),
-    (256, "auto", "tpu", False),     # short chain: XLA path measured faster
+    (64, "auto", "tpu", False),      # tiny band: kernel launch overhead wins
     (520, "auto", "tpu", False),     # not 64-aligned: Mosaic tiling unsupported
     (512, "auto", "cpu", False),     # kernels are TPU-only
     # forced
