@@ -18,12 +18,14 @@ Algebra (identical to the jnp path, same parameters):
 (valid(i,k) = in-range & k != W & cmask_i & cmask_j; callers apply
 deg_inv * 0.2 to raw_delta.)
 
-Custom VJP with full recomputation (nothing K-sized is saved):
-- K1 (receiver-centric) recomputes the chain per tile and emits d_a,
-  the receiver part of d_x, and all weight grads (accumulated across the
-  sequential grid).
-- K2 (sender-centric) walks the *transposed* band (i = j + W - k) and emits
-  d_bs and the sender part of d_x.
+Custom VJP with full recomputation (nothing K-sized is saved), ONE
+receiver-centric sweep: per edge the chain is recomputed once and emits
+d_a / the receiver part of d_x directly, while the sender cotangents
+(cot_pre -> d_bs, -d_rel -> d_x) accumulate into [T+8]-row window buffers
+at the offset's static row and are added to the W-padded sender outputs
+with one 8-aligned read-modify-write per offset group. (An earlier design
+ran a second sender-centric kernel that recomputed the whole chain again —
+4 extra matmuls per edge, ~1.5x backward cost.)
 """
 
 from __future__ import annotations
@@ -173,19 +175,32 @@ def _edge_chain_cotangents(a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2,
     return cot_pre, d_rel, wg
 
 
-def _bwd_recv_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
-                     w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref, b_x1_ref,
-                     w_x2_ref, b_x2_ref, g_agg_ref, g_delta_ref,
-                     da_ref, dx_ref, dwd_ref, dwe2_ref, dbe2_ref, dwx1_ref,
-                     dbx1_ref, dwx2_ref, dbx2_ref, *, K, W, T, precision):
+def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
+                       cm_pad_ref, w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref,
+                       b_x1_ref, w_x2_ref, b_x2_ref, g_agg_ref, g_delta_ref,
+                       da_ref, dxr_ref, dbs_pad_ref, dxs_pad_ref, dwd_ref,
+                       dwe2_ref, dbe2_ref, dwx1_ref, dbx1_ref, dwx2_ref,
+                       dbx2_ref, *, K, W, T, L, precision):
+    """Single-pass backward: one receiver-centric sweep emits BOTH sides.
+
+    The old design ran a second, sender-centric kernel that recomputed the
+    whole edge chain (4 more big matmuls per edge) just to route cot_pre /
+    -d_rel to the senders. Here the sender cotangents of edge (i, j=i+k-W)
+    land in a [T+8, Hd] window accumulator at static row offset r (the
+    position within the 8-wide offset group, via a static pad), and the
+    window is added into the W-padded sender outputs with ONE 8-aligned
+    read-modify-write per group — grid steps are sequential on TPU, so the
+    overlapping windows never race.
+    """
     b = pl.program_id(0)
-    t = pl.program_id(1)
-    t0 = t * T
-    a = a_ref[0, pl.ds(t0, T), :]
-    x_i = x_ref[0, pl.ds(t0, T), :]
-    cm_i = cm_ref[0, pl.ds(t0, T), :]
-    g_agg = g_agg_ref[0, pl.ds(t0, T), :]
-    g_delta = g_delta_ref[0, pl.ds(t0, T), :]
+    Hd = a_ref.shape[-1]
+    n_tiles = L // T
+    n_groups = (K + 7) // 8
+
+    # fresh sender accumulators for this batch row
+    dbs_pad_ref[...] = jnp.zeros(dbs_pad_ref.shape, jnp.float32)
+    dxs_pad_ref[...] = jnp.zeros(dxs_pad_ref.shape, jnp.float32)
+
     w_d = w_d_ref[...][0]
     w_e2 = w_e2_ref[...]
     b_e2 = b_e2_ref[...][0]
@@ -194,50 +209,66 @@ def _bwd_recv_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
     w_x2 = w_x2_ref[...]
     b_x2 = b_x2_ref[...][0, 0]
 
-    Hd = a.shape[-1]
-    n_groups = (K + 7) // 8
+    def tile_body(t, wg_carry):
+        t0 = pl.multiple_of(t * T, 8)
+        a = a_ref[0, pl.ds(t0, T), :]
+        x_i = x_ref[0, pl.ds(t0, T), :]
+        cm_i = cm_ref[0, pl.ds(t0, T), :]
+        g_agg = g_agg_ref[0, pl.ds(t0, T), :]
+        g_delta = g_delta_ref[0, pl.ds(t0, T), :]
 
-    def group(k8, carry):
-        da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2 = carry
-        g0 = pl.multiple_of(k8 * 8, 8)
-        wbs = bs_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        for r in range(8):
-            k = g0 + r
-            keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
-            bs_j = jax.lax.slice_in_dim(wbs, r, r + T, axis=0)
-            x_j = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
-            cm_j = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
-            valid = cm_i * cm_j * keep
-            cot_pre, d_rel, wg = _edge_chain_cotangents(
-                a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1,
-                w_x2, b_x2, g_agg, g_delta, precision)
-            da = da + cot_pre
-            dx = dx + d_rel
-            g_wd = g_wd + wg["w_d"]
-            g_we2 = g_we2 + wg["w_e2"]
-            g_be2 = g_be2 + wg["b_e2"]
-            g_wx1 = g_wx1 + wg["w_x1"]
-            g_bx1 = g_bx1 + wg["b_x1"]
-            g_wx2 = g_wx2 + wg["w_x2"]
-            g_bx2 = g_bx2 + wg["b_x2"]
-        return (da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2)
+        def group(k8, carry):
+            da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2 = carry
+            g0 = pl.multiple_of(k8 * 8, 8)
+            wbs = bs_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+            wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+            wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+            dbs_win = jnp.zeros((T + 8, Hd), jnp.float32)
+            dxs_win = jnp.zeros((T + 8, 3), jnp.float32)
+            for r in range(8):
+                k = g0 + r
+                keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
+                bs_j = jax.lax.slice_in_dim(wbs, r, r + T, axis=0)
+                x_j = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
+                cm_j = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
+                valid = cm_i * cm_j * keep
+                cot_pre, d_rel, wg = _edge_chain_cotangents(
+                    a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1,
+                    w_x2, b_x2, g_agg, g_delta, precision)
+                da = da + cot_pre
+                dx = dx + d_rel
+                pad = ((r, 8 - r), (0, 0))
+                dbs_win = dbs_win + jnp.pad(cot_pre, pad)
+                dxs_win = dxs_win + jnp.pad(-d_rel, pad)
+                g_wd = g_wd + wg["w_d"]
+                g_we2 = g_we2 + wg["w_e2"]
+                g_be2 = g_be2 + wg["b_e2"]
+                g_wx1 = g_wx1 + wg["w_x1"]
+                g_bx1 = g_bx1 + wg["b_x1"]
+                g_wx2 = g_wx2 + wg["w_x2"]
+                g_bx2 = g_bx2 + wg["b_x2"]
+            dbs_pad_ref[0, pl.ds(t0 + g0, T + 8), :] += dbs_win
+            dxs_pad_ref[0, pl.ds(t0 + g0, T + 8), :] += dxs_win
+            return (da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2)
 
-    init = (jnp.zeros((T, Hd), jnp.float32), jnp.zeros((T, 3), jnp.float32),
-            jnp.zeros((1, Hd), jnp.float32), jnp.zeros((Hd, Hd), jnp.float32),
-            jnp.zeros((1, Hd), jnp.float32), jnp.zeros((Hd, Hd), jnp.float32),
-            jnp.zeros((1, Hd), jnp.float32), jnp.zeros((Hd, 1), jnp.float32),
-            jnp.zeros((1, 1), jnp.float32))
-    (da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2) = (
-        jax.lax.fori_loop(0, n_groups, group, init))
+        init = (jnp.zeros((T, Hd), jnp.float32),
+                jnp.zeros((T, 3), jnp.float32)) + wg_carry
+        out = jax.lax.fori_loop(0, n_groups, group, init)
+        da_ref[0, pl.ds(t0, T), :] = out[0]
+        dxr_ref[0, pl.ds(t0, T), :] = out[1]
+        return out[2:]
 
-    da_ref[0, pl.ds(t0, T), :] = da
-    dx_ref[0, pl.ds(t0, T), :] = dx
+    wg_init = (jnp.zeros((1, Hd), jnp.float32),
+               jnp.zeros((Hd, Hd), jnp.float32),
+               jnp.zeros((1, Hd), jnp.float32),
+               jnp.zeros((Hd, Hd), jnp.float32),
+               jnp.zeros((1, Hd), jnp.float32),
+               jnp.zeros((Hd, 1), jnp.float32),
+               jnp.zeros((1, 1), jnp.float32))
+    g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2 = jax.lax.fori_loop(
+        0, n_tiles, tile_body, wg_init)
 
-    first = jnp.logical_and(b == 0, t == 0)
-
-    @pl.when(first)
+    @pl.when(b == 0)
     def _():
         dwd_ref[...] = jnp.zeros_like(dwd_ref)
         dwe2_ref[...] = jnp.zeros_like(dwe2_ref)
@@ -254,63 +285,6 @@ def _bwd_recv_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
     dbx1_ref[...] += g_bx1
     dwx2_ref[...] += g_wx2
     dbx2_ref[...] += g_bx2
-
-
-def _bwd_send_kernel(a_pad_ref, bs_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
-                     w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref, b_x1_ref,
-                     w_x2_ref, b_x2_ref, g_agg_pad_ref, g_delta_pad_ref,
-                     dbs_ref, dxs_ref, *, K, W, T, precision):
-    """Sender-centric sweep: for sender tile j, receivers i = j + W - k.
-
-    All receiver-side arrays (a, x, cmask, cotangents) come zero-padded by
-    W on each side; static window slice start for offset k is 2W - k.
-    """
-    t = pl.program_id(1)
-    t0 = t * T
-    bs_j = bs_ref[0, pl.ds(t0, T), :]                  # sender rows (this tile)
-    x_j = x_ref[0, pl.ds(t0, T), :]
-    cm_j = cm_ref[0, pl.ds(t0, T), :]
-    w_d = w_d_ref[...][0]
-    w_e2 = w_e2_ref[...]
-    b_e2 = b_e2_ref[...][0]
-    w_x1 = w_x1_ref[...]
-    b_x1 = b_x1_ref[...][0]
-    w_x2 = w_x2_ref[...]
-    b_x2 = b_x2_ref[...][0, 0]
-
-    Hd = bs_j.shape[-1]
-    n_groups = (K + 7) // 8
-
-    def group(o8, carry):
-        dbs, dxs = carry
-        g0 = pl.multiple_of(o8 * 8, 8)
-        wa = a_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wga = g_agg_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wgd = g_delta_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        for r in range(8):
-            o = g0 + r                # receiver offset; edge k = 2W - o
-            keep = jnp.where((o != W) & (o < K), 1.0, 0.0)
-            a_i = jax.lax.slice_in_dim(wa, r, r + T, axis=0)
-            x_i = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
-            cm_i = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
-            g_agg = jax.lax.slice_in_dim(wga, r, r + T, axis=0)
-            g_delta = jax.lax.slice_in_dim(wgd, r, r + T, axis=0)
-            valid = cm_i * cm_j * keep
-            cot_pre, d_rel, _ = _edge_chain_cotangents(
-                a_i, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1,
-                w_x2, b_x2, g_agg, g_delta, precision)
-            # sender receives cot_pre through bs_j and -d_rel through x_j
-            dbs = dbs + cot_pre
-            dxs = dxs - d_rel
-        return dbs, dxs
-
-    dbs, dxs = jax.lax.fori_loop(
-        0, n_groups, group, (jnp.zeros((T, Hd), jnp.float32),
-                             jnp.zeros((T, 3), jnp.float32)))
-    dbs_ref[0, pl.ds(t0, T), :] = dbs
-    dxs_ref[0, pl.ds(t0, T), :] = dxs
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +377,14 @@ def _fused_fwd(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, W, prec
     return (agg, delta), res
 
 
+def _batch_spec1(shape):
+    """BlockSpec for a 1-D (batch-only) grid: whole per-batch block."""
+    nd = len(shape)
+    return pl.BlockSpec((1,) + shape[1:],
+                        lambda b: (b,) + (0,) * (nd - 1),
+                        memory_space=pltpu.VMEM)
+
+
 def _fused_bwd(W, precision, res, cots):
     a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2 = res
     g_agg, g_delta = cots
@@ -415,25 +397,28 @@ def _fused_bwd(W, precision, res, cots):
     g_agg = g_agg.astype(jnp.float32)
     g_delta = g_delta.astype(jnp.float32)
 
-    recv = functools.partial(_bwd_recv_kernel, K=K, W=W, T=T, precision=precision)
-    da, dx_r, dwd, dwe2, dbe2, dwx1, dbx1, dwx2, dbx2 = pl.pallas_call(
-        recv,
-        grid=(B, L // T),
+    kern = functools.partial(_bwd_merged_kernel, K=K, W=W, T=T, L=L,
+                             precision=precision)
+    fs = _full_specs([(1, Hd), (Hd, Hd), (1, Hd), (Hd, Hd), (1, Hd),
+                      (Hd, 1), (1, 1)])
+    (da, dx_r, dbs_pad, dxs_pad, dwd, dwe2, dbe2, dwx1, dbx1, dwx2,
+     dbx2) = pl.pallas_call(
+        kern,
+        grid=(B,),
         in_specs=[
-            _batch_spec((B, L, Hd)),     # a
-            _batch_spec((B, Lp, Hd)),    # bs_pad
-            _batch_spec((B, L, 3)),      # x
-            _batch_spec((B, Lp, 3)),     # x_pad
-            _batch_spec((B, L, 1)),      # cm
-            _batch_spec((B, Lp, 1)),     # cm_pad
-        ] + _full_specs([(1, Hd), (Hd, Hd), (1, Hd), (Hd, Hd), (1, Hd),
-                         (Hd, 1), (1, 1)])
-        + [_batch_spec((B, L, Hd)), _batch_spec((B, L, 3))],
-        out_specs=[_batch_spec((B, L, Hd)), _batch_spec((B, L, 3))]
-        + _full_specs([(1, Hd), (Hd, Hd), (1, Hd), (Hd, Hd), (1, Hd),
-                       (Hd, 1), (1, 1)]),
+            _batch_spec1((B, L, Hd)),     # a
+            _batch_spec1((B, Lp, Hd)),    # bs_pad
+            _batch_spec1((B, L, 3)),      # x
+            _batch_spec1((B, Lp, 3)),     # x_pad
+            _batch_spec1((B, L, 1)),      # cm
+            _batch_spec1((B, Lp, 1)),     # cm_pad
+        ] + fs + [_batch_spec1((B, L, Hd)), _batch_spec1((B, L, 3))],
+        out_specs=[_batch_spec1((B, L, Hd)), _batch_spec1((B, L, 3)),
+                   _batch_spec1((B, Lp, Hd)), _batch_spec1((B, Lp, 3))] + fs,
         out_shape=[jax.ShapeDtypeStruct((B, L, Hd), jnp.float32),
                    jax.ShapeDtypeStruct((B, L, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Lp, Hd), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
                    jax.ShapeDtypeStruct((1, Hd), jnp.float32),
                    jax.ShapeDtypeStruct((Hd, Hd), jnp.float32),
                    jax.ShapeDtypeStruct((1, Hd), jnp.float32),
@@ -445,28 +430,9 @@ def _fused_bwd(W, precision, res, cots):
     )(p["a"], p["bs_pad"], p["x"], p["x_pad"], p["cm"], p["cm_pad"],
       *params, g_agg, g_delta)
 
-    send = functools.partial(_bwd_send_kernel, K=K, W=W, T=T, precision=precision)
-    dbs, dx_s = pl.pallas_call(
-        send,
-        grid=(B, L // T),
-        in_specs=[
-            _batch_spec((B, Lp, Hd)),    # a_pad
-            _batch_spec((B, L, Hd)),     # bs
-            _batch_spec((B, L, 3)),      # x (sender rows)
-            _batch_spec((B, Lp, 3)),     # x_pad (receiver rows)
-            _batch_spec((B, L, 1)),      # cm (sender)
-            _batch_spec((B, Lp, 1)),     # cm_pad (receiver)
-        ] + _full_specs([(1, Hd), (Hd, Hd), (1, Hd), (Hd, Hd), (1, Hd),
-                         (Hd, 1), (1, 1)])
-        + [_batch_spec((B, Lp, Hd)), _batch_spec((B, Lp, 3))],
-        out_specs=[_batch_spec((B, L, Hd)), _batch_spec((B, L, 3))],
-        out_shape=[jax.ShapeDtypeStruct((B, L, Hd), jnp.float32),
-                   jax.ShapeDtypeStruct((B, L, 3), jnp.float32)],
-        interpret=_interpret(),
-    )(_pad_w(p["a"], W), bs.astype(jnp.float32), p["x"], p["x_pad"],
-      p["cm"], p["cm_pad"], *params, _pad_w(g_agg, W), _pad_w(g_delta, W))
-
-    dx = dx_r + dx_s
+    # strip the W/W+8 padding off the sender-side accumulators
+    dbs = dbs_pad[:, W:W + L, :]
+    dx = dx_r + dxs_pad[:, W:W + L, :]
     return (da.astype(a.dtype), dbs.astype(bs.dtype), dx.astype(x.dtype),
             jnp.zeros_like(cmask),
             dwd.reshape(w_d.shape).astype(w_d.dtype),
