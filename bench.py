@@ -246,12 +246,15 @@ def get_baseline(B, L, allow_measure=None) -> float:
     return val
 
 
-# (B, L, use_pallas, remat, steps): flagship + large-batch + long-chain.
+# (B, L, use_pallas, remat, steps): flagship + long-chain by default; the
+# large-batch row joins with BENCH_FULL=1 (each extra shape costs two scan
+# compiles ~= minutes on a 1-core host).
 SUITE_SHAPES = [
     (4, 256, "auto", False, 20),
-    (16, 256, "auto", False, 10),
     (2, 640, "auto", True, 10),
 ]
+FULL_SUITE_SHAPES = SUITE_SHAPES[:1] + [(16, 256, "auto", False, 10)] \
+    + SUITE_SHAPES[1:]
 
 
 def main():
@@ -271,8 +274,10 @@ def main():
     vs = (headline["samples_per_sec"] / base) if base > 0 else None
 
     suite = [headline]
+    shapes = (FULL_SUITE_SHAPES if os.environ.get("BENCH_FULL", "0") == "1"
+              else SUITE_SHAPES)
     if os.environ.get("BENCH_SUITE", "1") == "1":
-        for sb, sl, up, rm, st in SUITE_SHAPES:
+        for sb, sl, up, rm, st in shapes:
             if (sb, sl) == (B, L) and up == headline_pallas:
                 continue   # already measured as the headline
             row = bench_shape(sb, sl, st, use_pallas=up, remat=rm,
