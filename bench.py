@@ -132,32 +132,27 @@ def bench_shape(B, L, steps, use_pallas="auto", remat=False,
     args = (jax.random.PRNGKey(1), jnp.float32(1.0), jnp.float32(0.5),
             jnp.float32(3e-5))
 
-    def make_scan(n):
-        @jax.jit
-        def run(state, batch, rng, klw_g, klw_l, lr):
-            def body(st, i):
-                st, m = raw_step(st, batch, jax.random.fold_in(rng, i),
-                                 klw_g, klw_l, lr)
-                return st, m["loss"]
-            st, losses = jax.lax.scan(body, state, jnp.arange(n))
-            return losses[-1]
-        return run
+    from protein_ensemble_vae_tpu.utils.profiling import scan_step_time
 
-    n1, n2 = max(steps // 5, 2), steps
-    run1, run2 = make_scan(n1), make_scan(n2)
-    loss = float(run1(state, batch, *args))        # compile + sanity
-    float(run2(state, batch, *args))
+    _runs = {}
+
+    def make_run(n):
+        if n not in _runs:
+            @jax.jit
+            def run(state, batch, rng, klw_g, klw_l, lr):
+                def body(st, i):
+                    st, m = raw_step(st, batch, jax.random.fold_in(rng, i),
+                                     klw_g, klw_l, lr)
+                    return st, m["loss"]
+                _, losses = jax.lax.scan(body, state, jnp.arange(n))
+                return losses[-1]
+            _runs[n] = lambda: run(state, batch, *args)
+        return _runs[n]
+
+    n1 = max(steps // 5, 2)
+    loss = float(make_run(n1)())                   # compile + finite check
     assert np.isfinite(loss), f"bench loss not finite: {loss}"
-
-    dt = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run1(state, batch, *args))
-        t1 = time.perf_counter()
-        float(run2(state, batch, *args))
-        t2 = time.perf_counter()
-        d = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
-        dt = d if dt is None else min(dt, d)
+    dt = scan_step_time(make_run, n1=n1, n2=steps)
 
     flops = model_flops_per_step(cfg, B, L)
 

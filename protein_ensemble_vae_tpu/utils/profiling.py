@@ -3,7 +3,13 @@
 - ``trace(logdir)``: context manager around ``jax.profiler`` producing
   Perfetto/TensorBoard traces of jitted steps.
 - ``time_fn``: block-until-ready wall-clock timing with warmup, the standard
-  JAX microbenchmark recipe.
+  JAX microbenchmark recipe. **Caveat: on tunneled/remote devices whose
+  async completion events are unreliable (this repo's axon TPU tunnel,
+  CLAUDE.md), block_until_ready can return before the device finishes and
+  over-report throughput by large factors — use ``scan_step_time`` there.**
+- ``scan_step_time``: tunnel-proof per-step timing — N chained steps inside
+  one jitted computation, walltime of a synchronous scalar fetch differenced
+  between two N values (the host<->device round-trip cancels).
 - ``step_timer``: lightweight per-step host timer for the training loop.
 """
 
@@ -24,6 +30,34 @@ def trace(logdir: str = "/tmp/jax-trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def scan_step_time(make_run: Callable[[int], Callable[[], object]],
+                   n1: int = 4, n2: int = 20, repeats: int = 3) -> float:
+    """Seconds per step, measured so a lying async-completion path cannot
+    distort it.
+
+    ``make_run(n)`` must return a 0-arg callable that executes n chained
+    steps on the device and returns a scalar that DEPENDS on all n steps
+    (e.g. the final loss of a ``lax.scan``-ed train step). Each timed call
+    fetches the scalar synchronously (``float(...)``), which the device can
+    only satisfy after really computing it; per-step time is the walltime
+    difference between the two scan lengths, so the fetch round-trip and
+    dispatch overhead cancel. Returns the min over ``repeats``.
+    """
+    run1, run2 = make_run(n1), make_run(n2)
+    float(run1())            # compile + warm
+    float(run2())
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run1())
+        t1 = time.perf_counter()
+        float(run2())
+        t2 = time.perf_counter()
+        d = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+        best = d if best is None else min(best, d)
+    return best
 
 
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 10,
