@@ -153,3 +153,18 @@ def test_prepadded_factory_matches_collate(synthetic):
                 np.testing.assert_array_equal(r.dihedrals, g.dihedrals)
                 np.testing.assert_array_equal(r.seq_labels, g.seq_labels)
                 np.testing.assert_array_equal(r.seq_emb, g.seq_emb)
+
+
+def test_prepadded_factory_no_seqemb(synthetic):
+    from protein_ensemble_vae_tpu.data.collate import make_prepadded_factory
+
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=False)
+    factory = make_prepadded_factory()
+    ref = list(make_epoch_batches(ds, 2, (32, 64), False, 0))
+    got = list(factory(ds, 2, (32, 64), False, 0))
+    assert len(ref) == len(got) > 0
+    for rb, gb in zip(ref, got):
+        assert gb.inp.seq_emb is None and rb.inp.seq_emb is None
+        np.testing.assert_array_equal(rb.inp.ca, gb.inp.ca)
+        np.testing.assert_array_equal(rb.tgt.seq_labels, gb.tgt.seq_labels)
