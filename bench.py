@@ -22,8 +22,9 @@ kernel regressions show up as numbers, not vibes.
 BASELINE.md north-star comparison ("throughput vs CPU PyTorch reference").
 Torch numbers are cached in BENCH_BASELINE_CACHE.json (hardware-stable on
 this image) so repeated bench runs don't pay the reference's minutes-long
-CPU steps; missing cache entries leave vs_baseline null rather than stalling
-the bench (set BENCH_TORCH=1 to fill them).
+CPU steps. The HEADLINE row measures a missing baseline on the spot (its
+vs_baseline is the driver-recorded number and must not be null); extra
+SUITE rows leave vs_baseline null when uncached unless BENCH_TORCH=1.
 
 Env knobs: BENCH_BATCH/BENCH_LEN/BENCH_STEPS (headline shape),
 BENCH_SUITE=0 (headline only), BENCH_DTYPE=fp32, BENCH_PALLAS=1 (force the

@@ -164,7 +164,11 @@ class PrepaddedStore:
             dih = np.zeros((C, b, 6), np.float32)
             labels = np.zeros((C, b), np.int32)
             embs: list[np.ndarray] = []
-            emb_row_of_protein: dict[str, int] = {}
+            # dedup key = identity of the shared per-chain embedding array
+            # (conformers of one chain share the same seq_emb object); a
+            # protein_id key would alias different CHAINS of one entry,
+            # which carry different sequences/embeddings
+            emb_row_of: dict[int, int] = {}
             emb_row = np.zeros(C, np.int64)
             from protein_ensemble_vae_tpu.data.dataset import process_conformer
             for r, cid in enumerate(conf_ids):
@@ -178,14 +182,14 @@ class PrepaddedStore:
                 dih[r, :L] = item["dihedrals"]
                 labels[r, :L] = item["seq_labels"]
                 if self.seqemb_dim:
-                    pid = conf.protein_id
-                    if pid not in emb_row_of_protein:
+                    key = id(conf.seq_emb)
+                    if key not in emb_row_of:
                         e = np.zeros((b, self.seqemb_dim), np.float32)
                         if item["seq_emb"] is not None:
                             e[:L] = item["seq_emb"][:L]
-                        emb_row_of_protein[pid] = len(embs)
+                        emb_row_of[key] = len(embs)
                         embs.append(e)
-                    emb_row[r] = emb_row_of_protein[pid]
+                    emb_row[r] = emb_row_of[key]
             self.store[b] = dict(
                 n=n, ca=ca, c=cc, mask=mask, dih=dih, labels=labels,
                 emb=np.stack(embs) if embs else None, emb_row=emb_row,
@@ -243,33 +247,39 @@ def make_sharded_epoch_batches(dataset, batch_size: int,
 
     Every process computes the same deterministic chunk plan, then takes its
     stride of each bucket's chunks, truncated so all processes hold the SAME
-    number of chunks per bucket in the SAME bucket order. Before the stride,
-    sample membership is shuffled per bucket with a host-identical RNG; after
-    it, one host-identical permutation reorders positions. Since position i
-    carries the same bucket on every host both before and after that shared
-    permutation, step i has the same padded shape everywhere — which the
-    global ``make_array_from_process_local_data`` assembly requires.
+    number of chunks per bucket in the SAME bucket order. Before chunking,
+    sample membership is shuffled per bucket with a host-identical RNG —
+    crucially BEFORE any remainder is dropped, so with a per-epoch seed the
+    dropped trailing samples rotate across epochs instead of permanently
+    excluding the same pairs. After the stride, one host-identical
+    permutation reorders positions. Since position i carries the same bucket
+    on every host both before and after that shared permutation, step i has
+    the same padded shape everywhere — which the global
+    ``make_array_from_process_local_data`` assembly requires.
+
+    ``drop_remainder`` is accepted for factory-signature compatibility but
+    remainders are ALWAYS dropped here: equal chunk counts per bucket across
+    processes are required for step-shape alignment, so multi-host val
+    statistics cover all-but-the-trailing samples of each bucket (the
+    single-host plain-jit fallback that keeps every val sample cannot apply
+    across processes).
     """
     seqemb_dim = dataset.seqemb_dim if dataset.use_seqemb else None
-    # intra-bucket order must be identical on all processes before striding:
-    # build unshuffled, stride, then shuffle positions identically.
-    chunks = _make_chunks(dataset, batch_size, buckets, shuffle=False,
-                          seed=seed, drop_remainder=True)
+    # per-bucket sample membership, shuffled identically on all hosts BEFORE
+    # chunking/dropping
+    ids_by_bucket: dict[int, list[int]] = {}
+    for idx in range(len(dataset)):
+        b = bucket_for(dataset.pair_length(idx), buckets)
+        ids_by_bucket.setdefault(b, []).append(idx)
     if shuffle:
-        # shuffle sample membership deterministically (same on all hosts)
         rng = np.random.default_rng(seed)
-        by_bucket: dict[int, list[list[int]]] = {}
-        for b, c in chunks:
-            by_bucket.setdefault(b, []).append(c)
-        ids_by_bucket = {b: [i for c in cs for i in c]
-                         for b, cs in by_bucket.items()}
         for b in sorted(ids_by_bucket):
             rng.shuffle(ids_by_bucket[b])
-        chunks = []
-        for b in sorted(ids_by_bucket):
-            ids = ids_by_bucket[b]
-            for s in range(0, len(ids) - batch_size + 1, batch_size):
-                chunks.append((b, ids[s:s + batch_size]))
+    chunks: list[tuple[int, list[int]]] = []
+    for b in sorted(ids_by_bucket):
+        ids = ids_by_bucket[b]
+        for s in range(0, len(ids) - batch_size + 1, batch_size):
+            chunks.append((b, ids[s:s + batch_size]))
 
     by_bucket2: dict[int, list[tuple[int, list[int]]]] = {}
     for b, c in chunks:

@@ -55,7 +55,9 @@ class ESM2Config:
     intermediate: int = 5120
     layer_norm_eps: float = 1e-5
     token_dropout: bool = True
-    max_tokens: int = 1022          # per-sequence cap (esm_embeddings.py:37)
+    max_tokens: int = 1022          # RESIDUE cap (esm_embeddings.py:37);
+                                    # +2 cls/eos tokens fit ESM-2's 1026
+                                    # positions
 
 
 def tokenize(sequence: str) -> np.ndarray:
@@ -209,17 +211,23 @@ def convert_hf_state_dict(sd: dict) -> tuple[dict, ESM2Config]:
     hidden = emb.shape[1]
     cfg = ESM2Config(
         vocab_size=emb.shape[0], hidden=hidden, num_layers=len(layers),
-        num_heads=_infer_num_heads(hidden),
+        num_heads=_infer_num_heads(sd, hidden),
         intermediate=layers[0]["fc1"]["kernel"].shape[1] if layers else 4 * hidden)
     return params, cfg
 
 
-def _infer_num_heads(hidden: int) -> int:
-    # every released ESM-2 uses head_dim 64 (t6 320/20... no: 320/20=16).
-    # ESM-2 family: t6 320d/20h, t12 480d/20h, t30 640d/20h, t33 1280d/20h,
-    # t36 2560d/40h — head count = hidden // 64 except the smallest models.
-    # Prefer hidden/64 when divisible, else 20.
-    return hidden // 64 if hidden % 64 == 0 else 20
+def _infer_num_heads(sd: dict, hidden: int) -> int:
+    """Head count from the state dict itself: the rotary ``inv_freq`` buffer
+    has length head_dim/2, so num_heads = hidden / (2·len). Falls back to
+    the ESM-2 family table (every size t6-t33 uses 20 heads; t36 uses 40)
+    for dicts saved without buffers."""
+    for k, v in sd.items():
+        if k.endswith("rotary_embeddings.inv_freq"):
+            head_dim = 2 * int(_np(v).shape[0])
+            if head_dim > 0 and hidden % head_dim == 0:
+                return hidden // head_dim
+            break
+    return 40 if hidden >= 2560 else 20
 
 
 def load_hf_esm2(name_or_path: str = "facebook/esm2_t33_650M_UR50D"
@@ -262,10 +270,13 @@ class ESM2Embedder:
     def embed(self, sequence: str) -> np.ndarray:
         """[L, D] per-residue layer-N representation, CLS/EOS stripped
         (reference esm_embeddings.py:26-49)."""
-        if len(sequence) > self.config.max_tokens - 2:
+        # max_tokens is the RESIDUE cap (reference esm_embeddings.py:37-38
+        # caps residues at 1022; tokens = residues + cls/eos, within ESM-2's
+        # 1026 positions) — same inputs accepted as the torch backend.
+        if len(sequence) > self.config.max_tokens:
             raise ValueError(
                 f"sequence length {len(sequence)} exceeds the "
-                f"{self.config.max_tokens - 2} cap (esm_embeddings.py:37-38)")
+                f"{self.config.max_tokens} cap (esm_embeddings.py:37-38)")
         ids = tokenize(sequence)
         T = self._bucket(len(ids))
         toks = np.full((1, T), PAD_ID, np.int32)

@@ -172,7 +172,15 @@ def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
     klw_l = jnp.asarray(klw_l, jnp.float32)
     lr = jnp.asarray(lr, jnp.float32)
     converted = (_batch_to_arrays(pb, seqemb_dim) for pb in batches)
-    for batch_idx, batch in enumerate(prefetch_to_device(converted, size=2)):
+    if jax.process_count() > 1:
+        # multi-host: the mesh wrapper assembles global arrays from
+        # process-local HOST data (make_array_from_process_local_data);
+        # prefetching to a local device first would force a blocking
+        # device->host round trip per step
+        stream = converted
+    else:
+        stream = prefetch_to_device(converted, size=2)
+    for batch_idx, batch in enumerate(stream):
         bs = batch["tgt"]["ca"].shape[0]
         fn = step_fn
         if dp > 1 and bs % dp != 0 and fallback_step_fn is not None:
@@ -280,8 +288,11 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
         rng, tr_rng, va_rng = jax.random.split(rng, 3)
         # dp-sharded TRAIN batches need a batch dim divisible by the mesh;
         # trailing partial batches are dropped there (one compiled shape per
-        # bucket, documented in DEVIATIONS.md). VAL keeps every sample: the
-        # indivisible trailing batch runs through the plain-jit fallback.
+        # bucket, documented in DEVIATIONS.md). Single-host VAL keeps every
+        # sample: the indivisible trailing batch runs through the plain-jit
+        # fallback. (Multi-host overrides the factory with
+        # make_sharded_epoch_batches, which must drop trailing chunks to
+        # keep step shapes host-aligned — see its docstring.)
         drop = tcfg.dp > 1
         tr_batches = batch_factory(
             train_ds, tcfg.batch_size, tcfg.bucket_sizes, True,

@@ -168,3 +168,58 @@ def test_prepadded_factory_no_seqemb(synthetic):
         assert gb.inp.seq_emb is None and rb.inp.seq_emb is None
         np.testing.assert_array_equal(rb.inp.ca, gb.inp.ca)
         np.testing.assert_array_equal(rb.tgt.seq_labels, gb.tgt.seq_labels)
+
+
+def test_sharded_epoch_batches_remainder_rotates(synthetic):
+    """Dropped trailing samples must depend on the seed (membership is
+    shuffled BEFORE chunking), so per-epoch seeds rotate the exclusion."""
+    from protein_ensemble_vae_tpu.data.collate import make_sharded_epoch_batches
+
+    train_csv, _ = synthetic
+    ds = EnsembleDataset(train_csv, use_seqemb=True)
+
+    def included(seed):
+        out = set()
+        for p in range(2):
+            for b in make_sharded_epoch_batches(
+                    ds, 2, (24, 32, 64), shuffle=True, seed=seed,
+                    process_index=p, process_count=2):
+                out.update(_sample_keys(b))
+        return out
+
+    sets = [included(s) for s in range(4)]
+    assert any(sets[0] != s for s in sets[1:]), (
+        "identical exclusion across seeds: remainder does not rotate")
+    # across a few epochs, coverage approaches the full dataset
+    union = set().union(*sets)
+    assert len(union) > len(sets[0])
+
+
+def test_prepadded_matches_collate_multichain_embeddings(tmp_path):
+    """Two chains sharing a protein_id carry DIFFERENT embeddings; the
+    prepadded store must not alias them (dedup is by array identity)."""
+    import csv as _csv
+
+    from protein_ensemble_vae_tpu.data import write_synthetic_h5
+    from protein_ensemble_vae_tpu.data.collate import make_prepadded_factory
+
+    pa = str(tmp_path / "dual_A_nmr.h5")
+    pb = str(tmp_path / "dual_B_nmr.h5")
+    write_synthetic_h5(pa, K=3, L=24, seed=1, seqemb_dim=16)
+    write_synthetic_h5(pb, K=3, L=24, seed=2, seqemb_dim=16)
+    manifest = str(tmp_path / "manifest.csv")
+    with open(manifest, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["h5_path"])
+        w.writerow([pa])
+        w.writerow([pb])
+
+    ds = EnsembleDataset(manifest, use_seqemb=True)
+    assert len(ds.proteins) == 1  # both chains grouped under "dual"
+    factory = make_prepadded_factory()
+    ref = list(make_epoch_batches(ds, 3, (24,), False, 0))
+    got = list(factory(ds, 3, (24,), False, 0))
+    assert len(ref) == len(got) > 0
+    for rb, gb in zip(ref, got):
+        np.testing.assert_array_equal(rb.inp.seq_emb, gb.inp.seq_emb)
+        np.testing.assert_array_equal(rb.tgt.seq_emb, gb.tgt.seq_emb)

@@ -123,3 +123,21 @@ def test_embedder_length_cap(tiny):
     emb = ESM2Embedder(params, dataclasses.replace(jcfg, max_tokens=16))
     with pytest.raises(ValueError):
         emb.embed("A" * 20)
+
+
+def test_infer_num_heads_from_rotary_buffer():
+    import numpy as np
+
+    from protein_ensemble_vae_tpu.models.esm2 import _infer_num_heads
+
+    # t30-style: hidden 640, 20 heads -> head_dim 32 -> inv_freq length 16
+    sd = {"encoder.layer.0.attention.self.rotary_embeddings.inv_freq":
+          np.zeros(16, np.float32)}
+    assert _infer_num_heads(sd, 640) == 20
+    # t33-style: hidden 1280, head_dim 64 -> inv_freq length 32
+    sd = {"encoder.layer.0.attention.self.rotary_embeddings.inv_freq":
+          np.zeros(32, np.float32)}
+    assert _infer_num_heads(sd, 1280) == 20
+    # no buffer: family fallback
+    assert _infer_num_heads({}, 480) == 20
+    assert _infer_num_heads({}, 2560) == 40
