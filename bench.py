@@ -256,6 +256,9 @@ FULL_SUITE_SHAPES = SUITE_SHAPES[:1] + [(16, 256, "auto", False, 10)] \
 def main():
     import jax
 
+    from protein_ensemble_vae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
     # Fused Pallas band kernel (BENCH_PALLAS=1): forces the kernel for the
     # headline row; default "auto" routes per shape (TPU, 64-aligned L >= 128).

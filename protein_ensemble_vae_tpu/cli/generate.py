@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     import jax
 
+    from protein_ensemble_vae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from protein_ensemble_vae_tpu.data import EnsembleDataset, SingleConformerView
     from protein_ensemble_vae_tpu.infer import generate_ensembles
     from protein_ensemble_vae_tpu.models import HierCVAE

@@ -121,6 +121,9 @@ def main(argv=None):
                              num_processes=args.num_processes,
                              process_id=args.process_id)
 
+    from protein_ensemble_vae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.config:
         # preset JSON provides defaults; explicit CLI flags win
         import json
