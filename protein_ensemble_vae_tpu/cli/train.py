@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--use_crosspdb", action="store_true",
                     help="include /crosspdb conformers (same-UniProt "
                          "augmentation) as extra training pair partners")
+    ap.add_argument("--watch_every", type=int, default=0,
+                    help="N>0: dump param/grad histograms every N epochs to "
+                         "<save>/watch/ (offline wandb.watch equivalent)")
     ap.add_argument("--wandb_project", type=str, default="Protein-VAE")
     ap.add_argument("--wandb_run_name", type=str, default=None)
     ap.add_argument("--wandb_mode", type=str, default="disabled",
@@ -188,8 +191,11 @@ def main(argv=None):
         import jax
 
         from protein_ensemble_vae_tpu.parallel import make_mesh, make_parallel_jit
-        from protein_ensemble_vae_tpu.parallel.mesh import ensure_cpu_devices
+        from protein_ensemble_vae_tpu.parallel.mesh import (ensure_cpu_devices,
+                                                            validate_mesh_config)
         ensure_cpu_devices(args.dp * args.tp)
+        validate_mesh_config(args.dp, args.tp, args.batch_size, cfg.model,
+                             n_devices=len(jax.devices()))
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         jit_wrapper = make_parallel_jit(mesh, use_tp=args.tp > 1)
         logger.info(f"[mesh] dp={args.dp} tp={args.tp} "
@@ -210,11 +216,21 @@ def main(argv=None):
         from protein_ensemble_vae_tpu.data.collate import make_prepadded_factory
         make_batches = make_prepadded_factory()
 
+    from protein_ensemble_vae_tpu.train.checkpoint import record_artifact
+
     def checkpoint_fn(state, epoch, loss_history, meta):
         tag = "best" if meta.get("best") else f"epoch{epoch:05d}"
         path = os.path.join(args.save, tag)
         save_checkpoint(path, state, cfg, epoch, loss_history, meta)
+        headline = {k: loss_history["val"][k][-1]
+                    for k in ("loss", "rec") if loss_history["val"].get(k)}
+        record_artifact(args.save, tag, path, epoch, headline)
         logger.info(f"[checkpoint] saved {path}")
+
+    from protein_ensemble_vae_tpu.utils.watch import make_watch_fn
+    watch_fn = make_watch_fn(model, train_ds, cfg,
+                             os.path.join(args.save, "watch"),
+                             args.watch_every, logger=logger)
 
     start_epoch = 1
     init_state = None
@@ -240,12 +256,14 @@ def main(argv=None):
                                  start_epoch=start_epoch,
                                  init_state=init_state,
                                  checkpoint_fn=checkpoint_fn,
-                                 make_batches=make_batches)
+                                 make_batches=make_batches,
+                                 watch_fn=watch_fn)
 
     final_path = os.path.join(args.save, "final")
-    save_checkpoint(final_path, state, cfg,
-                    epoch=len(history["train"]["loss"]),
+    final_epoch = len(history["train"]["loss"])
+    save_checkpoint(final_path, state, cfg, epoch=final_epoch,
                     loss_history=history)
+    record_artifact(args.save, "final", final_path, final_epoch)
     logger.info(f"[done] final checkpoint: {final_path}")
     logger.close()
 

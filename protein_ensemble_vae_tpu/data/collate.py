@@ -226,11 +226,15 @@ def make_prepadded_factory():
 
     def factory(dataset, batch_size, buckets, shuffle, seed,
                 drop_remainder: bool = False):
+        # keyed on id() but the cached dataset is held strongly and identity-
+        # checked, so a recycled address after GC can't return a stale store
         key = (id(dataset), tuple(buckets))
-        if key not in cache:
-            cache[key] = PrepaddedStore(dataset, buckets)
-        return cache[key].epoch_batches(batch_size, shuffle, seed,
-                                        drop_remainder)
+        hit = cache.get(key)
+        if hit is None or hit[0] is not dataset:
+            hit = (dataset, PrepaddedStore(dataset, buckets))
+            cache[key] = hit
+        return hit[1].epoch_batches(batch_size, shuffle, seed,
+                                    drop_remainder)
 
     return factory
 

@@ -4,7 +4,9 @@ Parses the ``_atom_site`` loop of an mmCIF file into per-model, per-chain
 N/CA/C backbone arrays — the subset of parsing the reference does through
 BioPython's MMCIFParser (``prepare_data.py:520-551,853-855``). Handles
 multi-model NMR entries, altloc filtering (first altloc wins), and
-insertion-code-free auth numbering.
+insertion codes (residues keyed by ``(auth_seq_id, ins_code)`` like
+BioPython's ``(hetflag, resseq, icode)`` ids, so 100 and 100A stay
+distinct and ordered).
 """
 
 from __future__ import annotations
@@ -18,6 +20,21 @@ import numpy as np
 from protein_ensemble_vae_tpu.config import AA_3TO1
 
 _BACKBONE = ("N", "CA", "C")
+
+# Extended 3->1 mapping for common non-standard residues (reference
+# sequence_from_resnames, prepare_data.py:444-494); unknowns become "X".
+AA_3TO1_EXT = {
+    **AA_3TO1,
+    "HSD": "H", "HSE": "H", "HSP": "H", "HID": "H", "HIE": "H", "HIP": "H",
+    "CYX": "C", "CYM": "C",
+    "ASH": "D", "GLH": "E",
+    "LYN": "K",
+    "MSE": "M",
+    "SEP": "S", "TPO": "T", "PTR": "Y",
+    "MLY": "K", "ALY": "K",
+    "HYP": "P",
+    "CSO": "C", "CSS": "C",
+}
 
 
 def _tokenize_cif_line(line: str) -> list[str]:
@@ -99,9 +116,13 @@ def parse_mmcif_backbone(path_or_text: str, is_text: bool = False) -> dict:
                     continue
                 chain = rec.get("_atom_site.auth_asym_id",
                                 rec.get("_atom_site.label_asym_id", "A"))
+                icode = rec.get("_atom_site.pdbx_PDB_ins_code", "")
+                if icode in ("?", "."):
+                    icode = ""
                 try:
-                    resseq = int(rec.get("_atom_site.auth_seq_id",
-                                         rec.get("_atom_site.label_seq_id")))
+                    resseq = (int(rec.get("_atom_site.auth_seq_id",
+                                          rec.get("_atom_site.label_seq_id"))),
+                              icode)
                     model = int(rec.get("_atom_site.pdbx_PDB_model_num", "1"))
                     xyz = np.array([float(rec["_atom_site.Cartn_x"]),
                                     float(rec["_atom_site.Cartn_y"]),
@@ -283,7 +304,9 @@ def chain_to_arrays(chain: dict, min_models: int = 2
 
     Returns ``{"coords_n/ca/c": [K, L, 3], "mask": [K, L], "sequence": str,
     "resseqs": [L]}`` — a residue is valid in a model iff all of N/CA/C are
-    present (matching the reference's completeness requirement).
+    present (matching the reference's completeness requirement). Residue
+    keys are ``(auth_seq_id, ins_code)`` tuples (or bare ints from older
+    callers); ``resseqs`` keeps the numeric part.
     """
     models = sorted(chain["models"])
     if len(models) < min_models:
@@ -302,8 +325,10 @@ def chain_to_arrays(chain: dict, min_models: int = 2
                 mask[k, i] = 1.0
                 for a in _BACKBONE:
                     coords[a][k, i] = atoms[a]
-    sequence = "".join(AA_3TO1.get(chain["resnames"].get(r, ""), "X")
-                       for r in resseqs)
+    sequence = "".join(
+        AA_3TO1_EXT.get(str(chain["resnames"].get(r, "")).strip().upper(), "X")
+        for r in resseqs)
+    nums = [r[0] if isinstance(r, tuple) else r for r in resseqs]
     return dict(coords_n=coords["N"], coords_ca=coords["CA"],
                 coords_c=coords["C"], mask=mask, sequence=sequence,
-                resseqs=np.array(resseqs, np.int32))
+                resseqs=np.array(nums, np.int32))

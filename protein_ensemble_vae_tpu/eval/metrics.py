@@ -87,12 +87,21 @@ def compute_gdt(coords_pred: np.ndarray, coords_true: np.ndarray,
 
 def compute_rmsf(ensemble_coords: np.ndarray,
                  mask: Optional[np.ndarray] = None) -> np.ndarray:
-    """Per-residue RMSF of an aligned ensemble [K, L, 3] -> [L]."""
+    """Per-residue RMSF of an aligned ensemble [K, L, 3] -> [L].
+
+    The K alignments onto frame 0 run as ONE vmapped Kabsch
+    (``ops.geometry.kabsch_align``) instead of a Python SVD loop
+    (reference ``validation_metrics.py:206-241``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_ensemble_vae_tpu.ops.geometry import kabsch_align
+
     K, L, _ = ensemble_coords.shape
     if K == 1:
         return np.zeros(L, np.float32)
-    aligned = np.stack([kabsch_align_np(ensemble_coords[i], ensemble_coords[0])
-                        for i in range(K)])
+    X = jnp.asarray(ensemble_coords, jnp.float32)
+    aligned = np.asarray(jax.vmap(lambda x: kabsch_align(x, X[0]))(X))
     mean = aligned.mean(axis=0)
     dev = aligned - mean
     return np.sqrt((dev ** 2).sum(axis=-1).mean(axis=0)).astype(np.float32)
@@ -139,13 +148,23 @@ def contact_map_overlap(contact_pred: np.ndarray, contact_true: np.ndarray
 
 def compute_ensemble_diversity(ensemble_coords: np.ndarray
                                ) -> tuple[float, np.ndarray]:
-    """Mean pairwise Kabsch RMSD + full [K, K] matrix."""
+    """Mean pairwise Kabsch RMSD + full [K, K] matrix.
+
+    One vmapped battery (``ops.geometry.pairwise_kabsch_rmsd``) — the
+    O(K²) sequential-SVD loop of reference
+    ``validation_metrics.py:324-349`` is what the TPU build exists to kill
+    (19,900 SVDs at K=200); the loop survives only as a parity oracle in
+    ``tests/test_eval_infer.py``."""
+    from protein_ensemble_vae_tpu.ops.geometry import pairwise_kabsch_rmsd
+
     K = len(ensemble_coords)
-    M = np.zeros((K, K), np.float32)
-    for i in range(K):
-        for j in range(i + 1, K):
-            aligned = kabsch_align_np(ensemble_coords[j], ensemble_coords[i])
-            r = float(np.sqrt(((ensemble_coords[i] - aligned) ** 2).mean()))
-            M[i, j] = M[j, i] = r
-    mean = float(M[np.triu_indices(K, k=1)].mean()) if K > 1 else 0.0
+    if K <= 1:
+        return 0.0, np.zeros((K, K), np.float32)
+    M = np.asarray(pairwise_kabsch_rmsd(
+        np.asarray(ensemble_coords, np.float32)), np.float32)
+    # exact zeros on the diagonal / symmetric by construction of the metric;
+    # enforce them so downstream triu statistics are clean
+    M = 0.5 * (M + M.T)
+    np.fill_diagonal(M, 0.0)
+    mean = float(M[np.triu_indices(K, k=1)].mean())
     return mean, M

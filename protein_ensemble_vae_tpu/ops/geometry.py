@@ -223,6 +223,7 @@ def pairwise_kabsch_rmsd(X: Array, mask: Array | None = None) -> Array:
     Replaces the O(K^2) Python loops in the reference
     (``validation_metrics.py:324-349``, ``prepare_data.py:25-45``).
     """
+    X = jnp.asarray(X)   # numpy input would reject traced vmap indices
     K = X.shape[0]
 
     def rij(i, j):

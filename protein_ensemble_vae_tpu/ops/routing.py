@@ -28,6 +28,15 @@ import jax
 PALLAS_AUTO_MIN_L = 128
 PALLAS_L_MULTIPLE = 64
 
+# Measured crossover per bucket (single v5e, full-train-step, honest
+# scan-differenced timing — RESULTS.md "honest XLA-vs-Pallas grid"). This is
+# DATA, asserted by tests/test_routing.py against the policy, and re-checked
+# on hardware by ``scripts/bench_kernel_grid.py --assert_routing``. The
+# numbers are v5e-measured; on a new TPU generation run the grid script
+# once — if the crossover moves, update this table and PALLAS_AUTO_MIN_L
+# together (the guard test keeps them consistent).
+MEASURED_FASTER_IS_PALLAS = {64: False, 128: True, 256: True, 640: True}
+
 
 def pallas_supported(L: int, backend: Optional[str] = None) -> bool:
     """Hardware/shape feasibility: the kernels are Mosaic(TPU)-only and need
@@ -41,12 +50,29 @@ def pallas_policy(L: int, use_pallas: object = "auto",
                   backend: Optional[str] = None) -> bool:
     """Decide whether the Pallas path runs for sequence length ``L``.
 
-    ``use_pallas`` is ``ModelConfig.use_pallas_egnn``: True | False | "auto".
-    - True: forced on (caller asserts shape feasibility; kernels raise on
-      unsupported shapes/backends).
+    ``use_pallas`` is ``ModelConfig.use_pallas_egnn``:
+    True | False | "auto" | "interpret".
+    - True: forced on; RAISES off-TPU — Mosaic kernels on a CPU/GPU backend
+      would otherwise silently run in interpret mode, orders of magnitude
+      slower than the XLA path they replace.
+    - "interpret": forced on anywhere, interpret mode knowingly accepted
+      (CPU parity tests).
     - False/None: forced off everywhere — including the clash kernel.
     - "auto": on only in the measured-faster regime (TPU, L >= 128, aligned).
     """
     if use_pallas == "auto":
         return (L >= PALLAS_AUTO_MIN_L and pallas_supported(L, backend))
+    if use_pallas == "interpret":
+        return True
+    if use_pallas:
+        if backend is None:
+            backend = jax.default_backend()
+        if backend != "tpu":
+            raise RuntimeError(
+                "use_pallas_egnn=True forces the Mosaic kernels, but the "
+                f"active backend is {backend!r}: they would run in interpret "
+                "mode, orders of magnitude slower than the XLA path. Use "
+                '"auto" (routes to XLA off-TPU) or "interpret" to knowingly '
+                "run interpret-mode kernels (CPU parity tests).")
+        return True
     return bool(use_pallas)

@@ -4,4 +4,5 @@ from protein_ensemble_vae_tpu.parallel.mesh import (  # noqa: F401
     make_parallel_jit,
     shard_batch,
     tp_param_pspecs,
+    validate_mesh_config,
 )

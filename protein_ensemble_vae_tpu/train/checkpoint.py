@@ -66,6 +66,25 @@ def save_checkpoint(path: str, state, run_config, epoch: int,
     return path
 
 
+def record_artifact(root: str, name: str, path: str, epoch: int,
+                    metrics: Optional[dict] = None) -> str:
+    """Append a checkpoint-artifact record to ``<root>/artifacts.jsonl``.
+
+    Offline equivalent of the reference's wandb Artifact upload
+    (``models/training.py:464-477``): a durable, append-only manifest of
+    every saved checkpoint (name, epoch, headline metrics, path, mtime)
+    that survives without any tracking service."""
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    rec = {"name": name, "path": os.path.abspath(path), "epoch": int(epoch),
+           "time": time.time(), "metrics": _to_jsonable(metrics or {})}
+    manifest = os.path.join(root, "artifacts.jsonl")
+    with open(manifest, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return manifest
+
+
 def load_meta(path: str) -> dict:
     with open(os.path.join(os.path.abspath(path), "meta.json")) as f:
         return json.load(f)

@@ -85,12 +85,12 @@ def _batch_to_arrays(pair_batch, seqemb_dim: int) -> dict:
     return {"inp": conv(pair_batch.inp), "tgt": conv(pair_batch.tgt)}
 
 
-def make_train_step(model: HierCVAE, weights: LossWeights, train: bool,
-                    grad_clip: float = 10.0,
-                    jit_wrapper: Optional[Callable] = None) -> Callable:
-    """Build the fused step. ``jit_wrapper`` lets the parallel layer supply a
-    mesh-aware jit (shardings); defaults to plain ``jax.jit``."""
-    tx = make_optimizer(grad_clip)
+def make_loss_fn(model: HierCVAE, weights: LossWeights, train: bool
+                 ) -> Callable:
+    """The shared loss closure of the fused step (also reused by the
+    grad-watch dump, ``utils/watch.py``). Returns
+    ``loss_fn(params, batch, rng_reparam, rng_dropout, klw_g, klw_l)
+    -> (total, (loss_dict, seq_acc))``."""
 
     def loss_fn(params, batch, rng_reparam, rng_dropout, klw_g, klw_l):
         inp, tgt = batch["inp"], batch["tgt"]
@@ -111,6 +111,32 @@ def make_train_step(model: HierCVAE, weights: LossWeights, train: bool,
             use_pallas=model.config.use_pallas_egnn)
         seq_acc = sequence_accuracy(pred_seq, tgt["seq_labels"], mask)
         return loss_dict["total"], (loss_dict, seq_acc)
+
+    return loss_fn
+
+
+def make_param_grad_fn(model: HierCVAE, weights: LossWeights) -> Callable:
+    """Jitted ``(params, batch, rng, klw_g, klw_l) -> grads`` for the offline
+    ``wandb.watch`` equivalent (per-layer param/grad histogram dumps,
+    reference training.py:209-210)."""
+    loss_fn = make_loss_fn(model, weights, train=True)
+
+    @jax.jit
+    def grad_fn(params, batch, rng, klw_g, klw_l):
+        r1, r2 = jax.random.split(rng)
+        return jax.grad(loss_fn, has_aux=True)(
+            params, batch, r1, r2, klw_g, klw_l)[0]
+
+    return grad_fn
+
+
+def make_train_step(model: HierCVAE, weights: LossWeights, train: bool,
+                    grad_clip: float = 10.0,
+                    jit_wrapper: Optional[Callable] = None) -> Callable:
+    """Build the fused step. ``jit_wrapper`` lets the parallel layer supply a
+    mesh-aware jit (shardings); defaults to plain ``jax.jit``."""
+    tx = make_optimizer(grad_clip)
+    loss_fn = make_loss_fn(model, weights, train)
 
     def step(state: TrainState, batch: dict, rng: Array,
              klw_g: Array, klw_l: Array, lr: Array):
@@ -162,7 +188,14 @@ def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
     Under dp-sharding (``dp > 1``) a batch whose size isn't divisible by the
     mesh can't take the ``P("dp")`` sharding; such batches run through
     ``fallback_step_fn`` (a plain-jit step) instead of being dropped, so
-    eval statistics cover every sample exactly."""
+    eval statistics cover every sample exactly.
+
+    The fallback is a SINGLE-PROCESS device-local escape hatch: under
+    multi-host (``jax.process_count() > 1``) each process holds only its
+    local batch shard, so routing a "full" local batch through a plain-jit
+    step would pair process-local data with globally-sharded state (see
+    make_sharded_epoch_batches, which instead drops host-misaligned
+    chunks). It is therefore disabled there."""
     from protein_ensemble_vae_tpu.data.prefetch import prefetch_to_device
 
     sums: Optional[dict] = None
@@ -172,7 +205,9 @@ def run_epoch(state: TrainState, step_fn: Callable, batches: Iterable,
     klw_l = jnp.asarray(klw_l, jnp.float32)
     lr = jnp.asarray(lr, jnp.float32)
     converted = (_batch_to_arrays(pb, seqemb_dim) for pb in batches)
-    if jax.process_count() > 1:
+    multihost = jax.process_count() > 1
+    if multihost:
+        fallback_step_fn = None
         # multi-host: the mesh wrapper assembles global arrays from
         # process-local HOST data (make_array_from_process_local_data);
         # prefetching to a local device first would force a blocking
@@ -217,13 +252,16 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
                 logger=None, jit_wrapper: Optional[Callable] = None,
                 start_epoch: int = 1, init_state: Optional[TrainState] = None,
                 checkpoint_fn: Optional[Callable] = None,
-                make_batches: Optional[Callable] = None):
+                make_batches: Optional[Callable] = None,
+                watch_fn: Optional[Callable] = None):
     """Full fit loop: KL annealing (honoring the schedule flag), plateau LR,
     early stopping with best-state capture, per-epoch logging.
 
     ``checkpoint_fn(state, epoch, loss_history, meta)`` is called on every
     val improvement and at the end (reference best_model.pt behavior,
-    training.py:362-419).
+    training.py:362-419). ``watch_fn(state, epoch)`` is called after every
+    epoch (the offline wandb.watch equivalent decides its own cadence —
+    ``utils.watch.make_watch_fn``).
     """
     from protein_ensemble_vae_tpu.data.collate import make_epoch_batches
 
@@ -316,6 +354,8 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
         if logger is not None:
             logger.log_epoch(epoch, tr, va, klw_g=klw_g, klw_l=klw_l,
                              lr=plateau.lr, seconds=time.time() - t0)
+        if watch_fn is not None:
+            watch_fn(state, epoch)
 
         # Early stopping on rec / loss / rmsd (training.py:345-419)
         metric_name = tcfg.early_stopping_metric

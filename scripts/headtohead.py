@@ -1,0 +1,282 @@
+#!/usr/bin/env python3
+"""Controlled quality head-to-head: PyTorch reference vs this framework.
+
+Trains BOTH implementations on the SAME synthetic H5 dataset with MATCHED
+hyperparameters (dims, loss weights, lr, batch, epochs, KL schedule) and
+reports both val-RMSD curves — the BASELINE.md north star ("recon RMSD
+within 1% of reference") measured for real instead of against doc-quoted
+trajectories. The reference side drives the actual upstream code
+(/root/reference/models/training.py:192-438 train_model + vae.py defaults)
+imported unmodified; wandb (absent in this image) is stubbed out.
+
+Matched-config notes:
+- The reference decoder ignores its ``hidden`` flag and hard-codes
+  hidden=256 / 8 EGNN layers / max_neighbors=40
+  (en_gnn_decoder.py:343-349), so those are pinned on both sides.
+- Encoder dims are scaled down (d_model 128 / 2 layers) so the CPU-bound
+  reference can finish a few hundred epochs in hours on this 1-core host;
+  both sides use the identical reduced config.
+- "val RMSD" uses the reference's own convention sqrt(val rec)
+  (training.py:303-304), where rec = MSE(CA) + 0.5(MSE(N)+MSE(C)).
+
+Usage:
+  python scripts/headtohead.py data     # build the shared dataset
+  python scripts/headtohead.py ref      # train the torch reference (CPU, slow)
+  python scripts/headtohead.py tpu      # train this framework
+  python scripts/headtohead.py report   # write runs/h2h/report.json + table
+Env: H2H_EPOCHS (default 200), H2H_ROOT (default runs/h2h).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROOT = os.environ.get("H2H_ROOT", os.path.join(REPO, "runs", "h2h"))
+EPOCHS = int(os.environ.get("H2H_EPOCHS", "200"))
+
+# Matched hyperparameters (single source of truth for both sides).
+HP = dict(
+    # data
+    n_proteins=4, K=5, lengths=(48, 64), fold="compact", noise=0.3,
+    seqemb_dim=64, data_seed=0,
+    # model (reference decoder pins hidden/layers/W — see module docstring)
+    d_model=128, nhead=4, ff=256, nlayers=2, z_global=64, z_local=32,
+    decoder_hidden=256, decoder_layers=8, max_neighbors=40, dropout=0.1,
+    # loss weights = reference vae.py:21-59 defaults
+    w_rec=10.0, w_pair=10.0, pair_stride=8, klw_global=1.0, klw_local=0.5,
+    w_dihedral=20.0, w_rama=400.0, w_bond=500.0, w_angle=500.0,
+    w_seq=50.0, w_clash=300.0,
+    # training
+    batch_size=8, lr=1e-4, seed=13, kl_schedule="cyclical", kl_cycles=4,
+    kl_ratio=0.4, early_stopping_patience=60, early_stopping_metric="rec",
+    early_stopping_delta=1e-4,
+)
+
+
+def manifests():
+    return (os.path.join(ROOT, "data", "manifest_train.csv"),
+            os.path.join(ROOT, "data", "manifest_val.csv"))
+
+
+def build_data():
+    from protein_ensemble_vae_tpu.data.synthetic import make_synthetic_dataset
+    train_csv, val_csv = make_synthetic_dataset(
+        os.path.join(ROOT, "data"), n_proteins=HP["n_proteins"], K=HP["K"],
+        lengths=HP["lengths"], seqemb_dim=HP["seqemb_dim"],
+        seed=HP["data_seed"], fold=HP["fold"], noise=HP["noise"])
+    print(f"[h2h] dataset at {ROOT}/data ({HP['n_proteins']} proteins, "
+          f"K={HP['K']}, L={HP['lengths']})")
+    return train_csv, val_csv
+
+
+def _stub_wandb():
+    import types
+    mod = types.ModuleType("wandb")
+    mod.run = None
+    mod.log = mod.watch = mod.init = mod.finish = lambda *a, **k: None
+    mod.Artifact = lambda *a, **k: None
+    sys.modules["wandb"] = mod
+
+
+def run_reference(epochs=EPOCHS):
+    """Train the actual upstream PyTorch implementation on CPU."""
+    _stub_wandb()
+    sys.path.insert(0, "/root/reference/models")
+    import torch
+
+    # torch>=2.2 removed ReduceLROnPlateau's `verbose` kwarg; the reference
+    # (written for torch 2.0, environment.yml:288) passes it. Shim it so the
+    # upstream code runs unmodified.
+    _Plateau = torch.optim.lr_scheduler.ReduceLROnPlateau
+
+    class _PlateauCompat(_Plateau):
+        def __init__(self, *a, verbose=False, **k):
+            super().__init__(*a, **k)
+
+    torch.optim.lr_scheduler.ReduceLROnPlateau = _PlateauCompat
+    from types import SimpleNamespace
+
+    from data import create_data_loaders           # reference data.py
+    from model import HierCVAE                     # reference model.py
+    from training import train_model               # reference training.py
+
+    torch.manual_seed(HP["seed"])
+    train_csv, val_csv = manifests()
+    train_loader, val_loader, seqemb_dim = create_data_loaders(
+        train_csv, val_csv, HP["batch_size"], use_seqemb=True,
+        seed=HP["seed"])
+    assert seqemb_dim == HP["seqemb_dim"], seqemb_dim
+
+    model = HierCVAE(seqemb_dim=seqemb_dim, d_model=HP["d_model"],
+                     nhead=HP["nhead"], ff=HP["ff"], nlayers=HP["nlayers"],
+                     z_g=HP["z_global"], z_l=HP["z_local"],
+                     dropout=HP["dropout"], decoder_hidden=HP["decoder_hidden"])
+    n_params = sum(p.numel() for p in model.parameters())
+
+    outdir = os.path.join(ROOT, "ref")
+    os.makedirs(outdir, exist_ok=True)
+    args = SimpleNamespace(
+        device="cpu", lr=HP["lr"], epochs=epochs,
+        klw_global=HP["klw_global"], klw_local=HP["klw_local"],
+        w_pair=HP["w_pair"], pair_stride=HP["pair_stride"],
+        w_dihedral=HP["w_dihedral"], w_rama=HP["w_rama"],
+        w_bond=HP["w_bond"], w_angle=HP["w_angle"], w_rec=HP["w_rec"],
+        w_seq=HP["w_seq"], w_clash=HP["w_clash"],
+        kl_schedule=HP["kl_schedule"], kl_cycles=HP["kl_cycles"],
+        kl_ratio=HP["kl_ratio"],
+        early_stopping_patience=HP["early_stopping_patience"],
+        early_stopping_metric=HP["early_stopping_metric"],
+        early_stopping_delta=HP["early_stopping_delta"],
+        save=os.path.join(outdir, "final.pt"),
+        seqemb_dim=seqemb_dim, d_model=HP["d_model"], nhead=HP["nhead"],
+        ff=HP["ff"], nlayers=HP["nlayers"], z_global=HP["z_global"],
+        z_local=HP["z_local"], decoder_hidden=HP["decoder_hidden"],
+        use_seqemb=True)
+
+    t0 = time.time()
+    model, loss_history = train_model(model, train_loader, val_loader, args)
+    wall = time.time() - t0
+
+    n_train_pairs = len(train_loader.dataset)
+    epochs_run = len(loss_history["train"]["loss"])
+    out = dict(side="reference", wall_s=wall, epochs=epochs_run,
+               n_params=n_params, n_train_pairs=n_train_pairs,
+               samples_per_sec=n_train_pairs * epochs_run / wall,
+               history={"train": loss_history["train"],
+                        "val": loss_history["val"]},
+               early_stopping=loss_history["early_stopping"])
+    with open(os.path.join(outdir, "history.json"), "w") as f:
+        json.dump(out, f)
+    print(f"[h2h/ref] {epochs_run} epochs in {wall:.0f}s, best val rec "
+          f"{loss_history['early_stopping']['best_val_metric']:.4f}")
+
+
+def run_tpu(epochs=EPOCHS):
+    """Train this framework with the identical config."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_ensemble_vae_tpu.config import (LossWeights, ModelConfig,
+                                                 RunConfig, TrainConfig)
+    from protein_ensemble_vae_tpu.data import EnsembleDataset
+    from protein_ensemble_vae_tpu.models import HierCVAE
+    from protein_ensemble_vae_tpu.train import train_model
+    from protein_ensemble_vae_tpu.utils import (MetricLogger,
+                                                enable_compilation_cache)
+
+    enable_compilation_cache()
+    train_csv, val_csv = manifests()
+    train_ds = EnsembleDataset(train_csv, use_seqemb=True)
+    val_ds = EnsembleDataset(val_csv, use_seqemb=True)
+
+    cfg = RunConfig(
+        model=ModelConfig(
+            seqemb_dim=HP["seqemb_dim"], d_model=HP["d_model"],
+            nhead=HP["nhead"], ff=HP["ff"], nlayers=HP["nlayers"],
+            z_global=HP["z_global"], z_local=HP["z_local"],
+            dropout=HP["dropout"], decoder_hidden=HP["decoder_hidden"],
+            decoder_layers=HP["decoder_layers"],
+            max_neighbors=HP["max_neighbors"], use_seqemb=True),
+        loss=LossWeights(
+            w_rec=HP["w_rec"], w_pair=HP["w_pair"],
+            pair_stride=HP["pair_stride"], klw_global=HP["klw_global"],
+            klw_local=HP["klw_local"], w_dihedral=HP["w_dihedral"],
+            w_rama=HP["w_rama"], w_bond=HP["w_bond"], w_angle=HP["w_angle"],
+            w_seq=HP["w_seq"], w_clash=HP["w_clash"]),
+        train=TrainConfig(
+            batch_size=HP["batch_size"], epochs=epochs, lr=HP["lr"],
+            seed=HP["seed"], kl_schedule=HP["kl_schedule"],
+            kl_cycles=HP["kl_cycles"], kl_ratio=HP["kl_ratio"],
+            early_stopping_patience=HP["early_stopping_patience"],
+            early_stopping_metric=HP["early_stopping_metric"],
+            early_stopping_delta=HP["early_stopping_delta"]))
+
+    model = HierCVAE(cfg.model, dtype=jnp.float32)
+    outdir = os.path.join(ROOT, "tpu")
+    os.makedirs(outdir, exist_ok=True)
+    logger = MetricLogger(jsonl_path=os.path.join(outdir, "log.jsonl"))
+
+    t0 = time.time()
+    state, loss_history = train_model(model, train_ds, val_ds, cfg,
+                                      logger=logger)
+    wall = time.time() - t0
+
+    import numpy as np
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   jax.tree_util.tree_leaves(state.params))
+    epochs_run = len(loss_history["train"]["loss"])
+    out = dict(side="tpu", wall_s=wall, epochs=epochs_run,
+               n_params=n_params, n_train_pairs=len(train_ds),
+               samples_per_sec=len(train_ds) * epochs_run / wall,
+               history={"train": loss_history["train"],
+                        "val": loss_history["val"]},
+               early_stopping=loss_history["early_stopping"])
+    with open(os.path.join(outdir, "history.json"), "w") as f:
+        json.dump(out, f)
+    print(f"[h2h/tpu] {epochs_run} epochs in {wall:.0f}s, best val rec "
+          f"{loss_history['early_stopping']['best_val_metric']:.4f}")
+
+
+def report():
+    sides = {}
+    for side in ("ref", "tpu"):
+        path = os.path.join(ROOT, side, "history.json")
+        with open(path) as f:
+            sides[side] = json.load(f)
+
+    def curve(side):
+        return [math.sqrt(max(r, 0.0)) for r in sides[side]["history"]["val"]["rec"]]
+
+    rows = {}
+    for side in sides:
+        c = curve(side)
+        best = min(c)
+        rows[side] = dict(
+            epochs=sides[side]["epochs"],
+            wall_s=round(sides[side]["wall_s"], 1),
+            samples_per_sec=round(sides[side]["samples_per_sec"], 3),
+            n_params=sides[side]["n_params"],
+            best_val_rmsd=round(best, 4),
+            best_epoch=1 + c.index(best),
+            final_val_rmsd=round(c[-1], 4),
+            val_rmsd_curve=[round(v, 4) for v in c],
+        )
+    ratio = rows["tpu"]["best_val_rmsd"] / rows["ref"]["best_val_rmsd"]
+    out = dict(config=HP, ref=rows["ref"], tpu=rows["tpu"],
+               best_val_rmsd_ratio=round(ratio, 4),
+               north_star_pass=bool(ratio <= 1.01),
+               speedup=round(rows["tpu"]["samples_per_sec"]
+                             / rows["ref"]["samples_per_sec"], 1))
+    path = os.path.join(ROOT, "report.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v for k, v in out.items() if k != "config"
+                      and not isinstance(v, dict)}, indent=2))
+    print(f"ref : best {rows['ref']['best_val_rmsd']} A @ ep "
+          f"{rows['ref']['best_epoch']}, {rows['ref']['wall_s']}s")
+    print(f"tpu : best {rows['tpu']['best_val_rmsd']} A @ ep "
+          f"{rows['tpu']['best_epoch']}, {rows['tpu']['wall_s']}s")
+    print(f"[h2h] report -> {path}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
+    ep = int(sys.argv[2]) if len(sys.argv) > 2 else EPOCHS
+    if cmd == "data":
+        build_data()
+    elif cmd == "ref":
+        run_reference(ep)
+    elif cmd == "tpu":
+        import jax  # noqa: F401  (imported here so `data`/`ref` stay torch-only)
+        run_tpu(ep)
+    elif cmd == "report":
+        report()
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")

@@ -78,6 +78,20 @@ def test_rmsf_parity(ref_vm, rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_ensemble_diversity_parity(ref_vm, rng):
+    """Vmapped [K,K] Kabsch battery vs the reference's O(K²) SVD loop
+    (validation_metrics.py:324-349 — the loop the TPU build exists to
+    kill; here it serves as the parity oracle)."""
+    from protein_ensemble_vae_tpu.eval.metrics import compute_ensemble_diversity
+
+    _, ca, _ = helix_backbone(40)
+    ens = np.stack([_noisy(ca, rng, 0.7) for _ in range(6)])
+    ours_mean, ours_M = compute_ensemble_diversity(ens)
+    ref_mean, ref_M = ref_vm.compute_ensemble_diversity(ens)
+    np.testing.assert_allclose(ours_mean, ref_mean, rtol=1e-4)
+    np.testing.assert_allclose(ours_M, ref_M, rtol=1e-3, atol=1e-5)
+
+
 def test_contact_parity(ref_vm, rng):
     _, ca, _ = helix_backbone(40)
     pred = _noisy(ca, rng, 1.0)

