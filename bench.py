@@ -2,11 +2,12 @@
 """Benchmark: full train-step throughput of the flagship HierCVAE.
 
 Prints ONE JSON line. The headline metric is the B4/L256 train step
-(reference default dims); the ``suite`` key carries a small shape suite:
+(reference default dims); the ``suite`` key carries all three regimes by
+default (BENCH_FULL=0 drops the large-batch row for a quick pass):
 
-  B4/L256   — flagship shape (auto routing: fused Pallas kernels, 1.8x XLA)
-  B16/L256  — large-batch short-chain regime (Pallas, 1.28x)
-  B2/L640   — long-chain HBM-bound regime with remat (Pallas, 2.68x)
+  B4/L256   — flagship shape (auto routing: fused Pallas kernels)
+  B16/L256  — large-batch short-chain regime (best MFU)
+  B2/L640   — long-chain regime
 
 With the default "auto" routing every suite row exercises
 ``ops/pallas/egnn_band.py`` and ``ops/pallas/clash.py``; set
