@@ -45,6 +45,21 @@ def _tile(L: int) -> int:
     return 128 if L % 128 == 0 else 64
 
 
+def _fold(B: int, L: int) -> int:
+    """Cross-batch fold factor: when the tile is only 64 rows (L not
+    128-aligned), stack F samples into the matmul row dimension so the
+    edge-MLP matmuls run at full 128-row MXU occupancy. Sample isolation
+    is free — each sample slices only its own W-padded sender rows, so no
+    cross-sample edge can form. F=1 when the batch doesn't divide.
+    PEV_EGNN_FOLD=0 disables folding (debug / fallback)."""
+    import os
+    if os.environ.get("PEV_EGNN_FOLD", "1") == "0":
+        return 1
+    if _tile(L) >= 128:
+        return 1
+    return 2 if B % 2 == 0 else 1
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -76,12 +91,17 @@ def _win(ref, t0, n):
 
 def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
                 w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref, b_x1_ref, w_x2_ref,
-                b_x2_ref, agg_ref, delta_ref, *, K, W, T, precision):
+                b_x2_ref, agg_ref, delta_ref, *, K, W, T, F, precision):
     t = pl.program_id(1)
     t0 = t * T
-    a = a_ref[0, pl.ds(t0, T), :]                      # [T, Hd]
-    x_i = x_ref[0, pl.ds(t0, T), :]                    # [T, 3]
-    cm_i = cm_ref[0, pl.ds(t0, T), :]                  # [T, 1]
+
+    def cat(parts):
+        # fold F per-sample row blocks into one [F*T, ...] matmul operand
+        return parts[0] if F == 1 else jnp.concatenate(parts, axis=0)
+
+    a = cat([a_ref[f, pl.ds(t0, T), :] for f in range(F)])      # [F*T, Hd]
+    x_i = cat([x_ref[f, pl.ds(t0, T), :] for f in range(F)])    # [F*T, 3]
+    cm_i = cat([cm_ref[f, pl.ds(t0, T), :] for f in range(F)])  # [F*T, 1]
     w_d = w_d_ref[...][0]                              # [Hd]
     w_e2 = w_e2_ref[...]
     b_e2 = b_e2_ref[...][0]
@@ -99,16 +119,19 @@ def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
     def group(k8, carry):
         acc_agg, acc_delta = carry
         g0 = pl.multiple_of(k8 * 8, 8)
-        wbs = bs_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-        wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
+        wbs = [bs_pad_ref[f, pl.ds(t0 + g0, T + 8), :] for f in range(F)]
+        wx = [x_pad_ref[f, pl.ds(t0 + g0, T + 8), :] for f in range(F)]
+        wcm = [cm_pad_ref[f, pl.ds(t0 + g0, T + 8), :] for f in range(F)]
         for r in range(8):
             k = g0 + r                                  # traced offset
             keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
-            bs_j = jax.lax.slice_in_dim(wbs, r, r + T, axis=0)
-            x_j = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
-            cm_j = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
-            valid = cm_i * cm_j * keep                  # [T, 1]
+            bs_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
+                        for w in wbs])
+            x_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
+                       for w in wx])
+            cm_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
+                        for w in wcm])
+            valid = cm_i * cm_j * keep                  # [F*T, 1]
 
             rel = x_i - x_j
             d2 = jnp.sum(rel * rel, axis=-1, keepdims=True)
@@ -125,10 +148,13 @@ def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
         return acc_agg, acc_delta
 
     acc_agg, acc_delta = jax.lax.fori_loop(
-        0, n_groups, group, (jnp.zeros((T, Hd), jnp.float32),
-                             jnp.zeros((T, 3), jnp.float32)))
-    agg_ref[0, pl.ds(t0, T), :] = acc_agg
-    delta_ref[0, pl.ds(t0, T), :] = acc_delta
+        0, n_groups, group, (jnp.zeros((F * T, Hd), jnp.float32),
+                             jnp.zeros((F * T, 3), jnp.float32)))
+    for f in range(F):
+        agg_ref[f, pl.ds(t0, T), :] = jax.lax.slice_in_dim(
+            acc_agg, f * T, (f + 1) * T, axis=0)
+        delta_ref[f, pl.ds(t0, T), :] = jax.lax.slice_in_dim(
+            acc_delta, f * T, (f + 1) * T, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +206,7 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
                        b_x1_ref, w_x2_ref, b_x2_ref, g_agg_ref, g_delta_ref,
                        da_ref, dxr_ref, dbs_pad_ref, dxs_pad_ref, dwd_ref,
                        dwe2_ref, dbe2_ref, dwx1_ref, dbx1_ref, dwx2_ref,
-                       dbx2_ref, *, K, W, T, L, precision):
+                       dbx2_ref, *, K, W, T, L, F, precision):
     """Single-pass backward: one receiver-centric sweep emits BOTH sides.
 
     The old design ran a second, sender-centric kernel that recomputed the
@@ -197,6 +223,13 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
     n_tiles = L // T
     n_groups = (K + 7) // 8
 
+    def cat(parts):
+        # fold F per-sample row blocks into one [F*T, ...] matmul operand
+        return parts[0] if F == 1 else jnp.concatenate(parts, axis=0)
+
+    def unfold(x, f):
+        return jax.lax.slice_in_dim(x, f * T, (f + 1) * T, axis=0)
+
     # fresh sender accumulators for this batch row
     dbs_pad_ref[...] = jnp.zeros(dbs_pad_ref.shape, jnp.float32)
     dxs_pad_ref[...] = jnp.zeros(dxs_pad_ref.shape, jnp.float32)
@@ -211,26 +244,33 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
 
     def tile_body(t, wg_carry):
         t0 = pl.multiple_of(t * T, 8)
-        a = a_ref[0, pl.ds(t0, T), :]
-        x_i = x_ref[0, pl.ds(t0, T), :]
-        cm_i = cm_ref[0, pl.ds(t0, T), :]
-        g_agg = g_agg_ref[0, pl.ds(t0, T), :]
-        g_delta = g_delta_ref[0, pl.ds(t0, T), :]
+        a = cat([a_ref[f, pl.ds(t0, T), :] for f in range(F)])
+        x_i = cat([x_ref[f, pl.ds(t0, T), :] for f in range(F)])
+        cm_i = cat([cm_ref[f, pl.ds(t0, T), :] for f in range(F)])
+        g_agg = cat([g_agg_ref[f, pl.ds(t0, T), :] for f in range(F)])
+        g_delta = cat([g_delta_ref[f, pl.ds(t0, T), :] for f in range(F)])
 
         def group(k8, carry):
             da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2 = carry
             g0 = pl.multiple_of(k8 * 8, 8)
-            wbs = bs_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-            wx = x_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-            wcm = cm_pad_ref[0, pl.ds(t0 + g0, T + 8), :]
-            dbs_win = jnp.zeros((T + 8, Hd), jnp.float32)
-            dxs_win = jnp.zeros((T + 8, 3), jnp.float32)
+            wbs = [bs_pad_ref[f, pl.ds(t0 + g0, T + 8), :]
+                   for f in range(F)]
+            wx = [x_pad_ref[f, pl.ds(t0 + g0, T + 8), :] for f in range(F)]
+            wcm = [cm_pad_ref[f, pl.ds(t0 + g0, T + 8), :]
+                   for f in range(F)]
+            dbs_win = [jnp.zeros((T + 8, Hd), jnp.float32)
+                       for _ in range(F)]
+            dxs_win = [jnp.zeros((T + 8, 3), jnp.float32)
+                       for _ in range(F)]
             for r in range(8):
                 k = g0 + r
                 keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
-                bs_j = jax.lax.slice_in_dim(wbs, r, r + T, axis=0)
-                x_j = jax.lax.slice_in_dim(wx, r, r + T, axis=0)
-                cm_j = jax.lax.slice_in_dim(wcm, r, r + T, axis=0)
+                bs_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
+                            for w in wbs])
+                x_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
+                           for w in wx])
+                cm_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
+                            for w in wcm])
                 valid = cm_i * cm_j * keep
                 cot_pre, d_rel, wg = _edge_chain_cotangents(
                     a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1,
@@ -238,8 +278,11 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
                 da = da + cot_pre
                 dx = dx + d_rel
                 pad = ((r, 8 - r), (0, 0))
-                dbs_win = dbs_win + jnp.pad(cot_pre, pad)
-                dxs_win = dxs_win + jnp.pad(-d_rel, pad)
+                for f in range(F):
+                    dbs_win[f] = dbs_win[f] + jnp.pad(unfold(cot_pre, f),
+                                                      pad)
+                    dxs_win[f] = dxs_win[f] + jnp.pad(-unfold(d_rel, f),
+                                                      pad)
                 g_wd = g_wd + wg["w_d"]
                 g_we2 = g_we2 + wg["w_e2"]
                 g_be2 = g_be2 + wg["b_e2"]
@@ -247,15 +290,17 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
                 g_bx1 = g_bx1 + wg["b_x1"]
                 g_wx2 = g_wx2 + wg["w_x2"]
                 g_bx2 = g_bx2 + wg["b_x2"]
-            dbs_pad_ref[0, pl.ds(t0 + g0, T + 8), :] += dbs_win
-            dxs_pad_ref[0, pl.ds(t0 + g0, T + 8), :] += dxs_win
+            for f in range(F):
+                dbs_pad_ref[f, pl.ds(t0 + g0, T + 8), :] += dbs_win[f]
+                dxs_pad_ref[f, pl.ds(t0 + g0, T + 8), :] += dxs_win[f]
             return (da, dx, g_wd, g_we2, g_be2, g_wx1, g_bx1, g_wx2, g_bx2)
 
-        init = (jnp.zeros((T, Hd), jnp.float32),
-                jnp.zeros((T, 3), jnp.float32)) + wg_carry
+        init = (jnp.zeros((F * T, Hd), jnp.float32),
+                jnp.zeros((F * T, 3), jnp.float32)) + wg_carry
         out = jax.lax.fori_loop(0, n_groups, group, init)
-        da_ref[0, pl.ds(t0, T), :] = out[0]
-        dxr_ref[0, pl.ds(t0, T), :] = out[1]
+        for f in range(F):
+            da_ref[f, pl.ds(t0, T), :] = unfold(out[0], f)
+            dxr_ref[f, pl.ds(t0, T), :] = unfold(out[1], f)
         return out[2:]
 
     wg_init = (jnp.zeros((1, Hd), jnp.float32),
@@ -301,9 +346,9 @@ def _full_specs(shapes):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
-def _batch_spec(shape):
+def _batch_spec(shape, F=1):
     nd = len(shape)
-    return pl.BlockSpec((1,) + shape[1:],
+    return pl.BlockSpec((F,) + shape[1:],
                         lambda b, t: (b,) + (0,) * (nd - 1),
                         memory_space=pltpu.VMEM)
 
@@ -352,22 +397,24 @@ def _fused_fwd(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, W, prec
     K = 2 * W + 1
     Lp = L + 2 * W + 8
     T = _tile(L)
+    F = _fold(B, L)
     params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2)
 
-    kern = functools.partial(_fwd_kernel, K=K, W=W, T=T, precision=precision)
+    kern = functools.partial(_fwd_kernel, K=K, W=W, T=T, F=F,
+                             precision=precision)
     agg, delta = pl.pallas_call(
         kern,
-        grid=(B, L // T),
+        grid=(B // F, L // T),
         in_specs=[
-            _batch_spec((B, L, Hd)),     # a
-            _batch_spec((B, Lp, Hd)),    # bs_pad
-            _batch_spec((B, L, 3)),      # x
-            _batch_spec((B, Lp, 3)),     # x_pad
-            _batch_spec((B, L, 1)),      # cm
-            _batch_spec((B, Lp, 1)),     # cm_pad
+            _batch_spec((B, L, Hd), F),     # a
+            _batch_spec((B, Lp, Hd), F),    # bs_pad
+            _batch_spec((B, L, 3), F),      # x
+            _batch_spec((B, Lp, 3), F),     # x_pad
+            _batch_spec((B, L, 1), F),      # cm
+            _batch_spec((B, Lp, 1), F),     # cm_pad
         ] + _full_specs([(1, Hd), (Hd, Hd), (1, Hd), (Hd, Hd), (1, Hd),
                          (Hd, 1), (1, 1)]),
-        out_specs=[_batch_spec((B, L, Hd)), _batch_spec((B, L, 3))],
+        out_specs=[_batch_spec((B, L, Hd), F), _batch_spec((B, L, 3), F)],
         out_shape=[jax.ShapeDtypeStruct((B, L, Hd), jnp.float32),
                    jax.ShapeDtypeStruct((B, L, 3), jnp.float32)],
         interpret=_interpret(),
@@ -377,10 +424,10 @@ def _fused_fwd(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, W, prec
     return (agg, delta), res
 
 
-def _batch_spec1(shape):
-    """BlockSpec for a 1-D (batch-only) grid: whole per-batch block."""
+def _batch_spec1(shape, F=1):
+    """BlockSpec for a 1-D (batch-only) grid: whole per-batch-group block."""
     nd = len(shape)
-    return pl.BlockSpec((1,) + shape[1:],
+    return pl.BlockSpec((F,) + shape[1:],
                         lambda b: (b,) + (0,) * (nd - 1),
                         memory_space=pltpu.VMEM)
 
@@ -393,28 +440,30 @@ def _fused_bwd(W, precision, res, cots):
     K = 2 * W + 1
     Lp = L + 2 * W + 8
     T = _tile(L)
+    F = _fold(B, L)
     params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2)
     g_agg = g_agg.astype(jnp.float32)
     g_delta = g_delta.astype(jnp.float32)
 
-    kern = functools.partial(_bwd_merged_kernel, K=K, W=W, T=T, L=L,
+    kern = functools.partial(_bwd_merged_kernel, K=K, W=W, T=T, L=L, F=F,
                              precision=precision)
     fs = _full_specs([(1, Hd), (Hd, Hd), (1, Hd), (Hd, Hd), (1, Hd),
                       (Hd, 1), (1, 1)])
     (da, dx_r, dbs_pad, dxs_pad, dwd, dwe2, dbe2, dwx1, dbx1, dwx2,
      dbx2) = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // F,),
         in_specs=[
-            _batch_spec1((B, L, Hd)),     # a
-            _batch_spec1((B, Lp, Hd)),    # bs_pad
-            _batch_spec1((B, L, 3)),      # x
-            _batch_spec1((B, Lp, 3)),     # x_pad
-            _batch_spec1((B, L, 1)),      # cm
-            _batch_spec1((B, Lp, 1)),     # cm_pad
-        ] + fs + [_batch_spec1((B, L, Hd)), _batch_spec1((B, L, 3))],
-        out_specs=[_batch_spec1((B, L, Hd)), _batch_spec1((B, L, 3)),
-                   _batch_spec1((B, Lp, Hd)), _batch_spec1((B, Lp, 3))] + fs,
+            _batch_spec1((B, L, Hd), F),     # a
+            _batch_spec1((B, Lp, Hd), F),    # bs_pad
+            _batch_spec1((B, L, 3), F),      # x
+            _batch_spec1((B, Lp, 3), F),     # x_pad
+            _batch_spec1((B, L, 1), F),      # cm
+            _batch_spec1((B, Lp, 1), F),     # cm_pad
+        ] + fs + [_batch_spec1((B, L, Hd), F), _batch_spec1((B, L, 3), F)],
+        out_specs=[_batch_spec1((B, L, Hd), F), _batch_spec1((B, L, 3), F),
+                   _batch_spec1((B, Lp, Hd), F),
+                   _batch_spec1((B, Lp, 3), F)] + fs,
         out_shape=[jax.ShapeDtypeStruct((B, L, Hd), jnp.float32),
                    jax.ShapeDtypeStruct((B, L, 3), jnp.float32),
                    jax.ShapeDtypeStruct((B, Lp, Hd), jnp.float32),

@@ -42,8 +42,13 @@ def main():
     do_assert = "--assert_routing" in sys.argv
     backend = jax.default_backend()
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    only_l = os.environ.get("BENCH_GRID_L")  # e.g. "64" or "64,256"
+    configs = CONFIGS
+    if only_l:
+        keep = {int(s) for s in only_l.split(",")}
+        configs = [c for c in CONFIGS if c[1] in keep]
     times: dict[tuple, dict] = {}
-    for B, L, up, rm in CONFIGS:
+    for B, L, up, rm in configs:
         # forcing the kernel on needs the interpret escape off-TPU
         use = up if (not up or backend == "tpu") else "interpret"
         row = bench.bench_shape(B, L, steps, use_pallas=use, remat=rm)

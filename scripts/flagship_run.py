@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Flagship annealed-KL convergence run (VERDICT r2 item #1, second half).
+
+Builds the flagship synthetic dataset (6 train + 1 val proteins, compact
+folds, L=128/192, exact 3.8 A CA-CA ground truth), trains the full
+reference-dims model with a MONOTONIC KL schedule held at max weight for
+the second half of the run (the "annealed convergence" the cyclical
+schedule never reaches — reference kl_schedulers.py:123-165 behavior),
+then generates an ensemble from the best checkpoint and runs the full
+analysis battery so gate pass-rate / Ramachandran favored % / clashscore
+become reportable against BASELINE.md targets.
+
+Usage: python scripts/flagship_run.py [data|train|gen|all]
+Env: FLAGSHIP_ROOT (default runs/flagship), FLAGSHIP_EPOCHS (default 400),
+     FLAGSHIP_WARMUP (default 120).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROOT = os.environ.get("FLAGSHIP_ROOT", os.path.join(REPO, "runs", "flagship"))
+EPOCHS = int(os.environ.get("FLAGSHIP_EPOCHS", "400"))
+WARMUP = int(os.environ.get("FLAGSHIP_WARMUP", "120"))
+ENV = dict(os.environ,
+           PYTHONPATH=f"{REPO}:/root/.axon_site")
+
+
+def build_data():
+    from protein_ensemble_vae_tpu.data.synthetic import make_synthetic_dataset
+    train_csv, val_csv = make_synthetic_dataset(
+        os.path.join(ROOT, "data"), n_proteins=7, K=5, lengths=(128, 192),
+        seqemb_dim=1280, seed=0, fold="compact", noise=0.3)
+    print(f"[flagship] data at {ROOT}/data")
+    return train_csv, val_csv
+
+
+def train():
+    train_csv = os.path.join(ROOT, "data", "manifest_train.csv")
+    val_csv = os.path.join(ROOT, "data", "manifest_val.csv")
+    cmd = [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.train",
+           "--manifest_train", train_csv, "--manifest_val", val_csv,
+           "--use_seqemb", "--batch_size", "8", "--lr", "5e-5",
+           "--epochs", str(EPOCHS), "--compute_dtype", "bfloat16",
+           "--kl_schedule", "monotonic", "--kl_warmup_epochs", str(WARMUP),
+           "--early_stopping_patience", str(EPOCHS),  # run the full anneal
+           "--checkpoint_every", "50",
+           "--save", os.path.join(ROOT, "ckpt"),
+           "--log_jsonl", os.path.join(ROOT, "train_log.jsonl")]
+    print("[flagship]", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, env=ENV, cwd=REPO)
+
+
+def generate_and_analyze():
+    val_csv = os.path.join(ROOT, "data", "manifest_val.csv")
+    ckpt = os.path.join(ROOT, "ckpt", "best")
+    outdir = os.path.join(ROOT, "generated")
+    for args in (
+        [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.generate",
+         "--checkpoint", ckpt, "--manifest", val_csv,
+         "--num_samples", "20", "--temperature", "0.7",
+         "--output_dir", outdir],
+        [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.analyze",
+         "--pdb_dir", outdir,
+         "--output", os.path.join(ROOT, "analysis.txt")],
+    ):
+        print("[flagship]", " ".join(args), flush=True)
+        subprocess.run(args, check=True, env=ENV, cwd=REPO)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("data", "all"):
+        build_data()
+    if mode in ("train", "all"):
+        train()
+    if mode in ("gen", "all"):
+        generate_and_analyze()

@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 B = int(os.environ.get("PROF_BATCH", "4"))
 L = int(os.environ.get("PROF_LEN", "256"))
-STEPS = int(os.environ.get("PROF_STEPS", "20"))
+STEPS = int(os.environ.get("PROF_STEPS", "40"))
 SEQD = 1280
 
 
@@ -68,6 +68,14 @@ def main():
     inp, tgt = batch["inp"], batch["tgt"]
     mask = tgt["mask"]
     key = jax.random.PRNGKey(1)
+
+    # Same clash routing as compute_total_loss (losses.py:322-332).
+    from protein_ensemble_vae_tpu.ops.routing import pallas_policy
+    if pallas_policy(L, use_pallas):
+        from protein_ensemble_vae_tpu.ops.pallas.clash import clash_loss_pallas
+        routed_clash = clash_loss_pallas
+    else:
+        routed_clash = clash_loss
 
     # ---- component closures; every fn maps a scalar carry -> scalar ------
     def model_out(params, r):
@@ -105,6 +113,34 @@ def main():
         t = total_loss(*out)
         return (carry[0], t), ()
 
+    def fwd_loss_nodrop_body(carry, i):
+        # deterministic forward: isolates dropout-mask PRNG generation cost
+        out = model.apply({"params": state.params}, inp["seq_emb"],
+                          inp["n"], inp["ca"], inp["c"], inp["dihedrals"],
+                          mask, deterministic=True,
+                          rngs={"reparam": jax.random.fold_in(key, i)})
+        t = total_loss(*out)
+        return (carry[0], t), ()
+
+    from protein_ensemble_vae_tpu.train.training import make_optimizer
+    import optax
+    tx_prof = make_optimizer(10.0)
+    grads0 = jax.tree.map(lambda p: jnp.full_like(p, 1e-3), state.params)
+
+    def opt_body(carry, i):
+        # optimizer-only: global-norm clip + apply_if_finite + Adam + update
+        st, v = carry
+        leaves, treedef = jax.tree.flatten(grads0)
+        leaves[0] = leaves[0] + v * 0.0
+        g = jax.tree.unflatten(treedef, leaves)
+        updates, opt_state = tx_prof.update(g, st.opt_state, st.params)
+        updates = jax.tree.map(lambda u: (-jnp.float32(3e-5)) * u, updates)
+        params = optax.apply_updates(st.params, updates)
+        st = st.replace(params=params, opt_state=opt_state,
+                        step=st.step + 1)
+        return (st, (v * 0.0
+                     + jax.tree.leaves(params)[0].ravel()[0])), ()
+
     def enc_fb_body(carry, i):
         def f(params):
             _, _, mg, lg, ml, ll = model.apply(
@@ -135,8 +171,7 @@ def main():
 
     def clash_fb_body(carry, i):
         def f(pn, pca, pc):
-            return clash_loss(pn + carry[1] * 0.0, pca, pc, mask,
-                              use_pallas=use_pallas)
+            return routed_clash(pn + carry[1] * 0.0, pca, pc, mask)
         v, gs = jax.value_and_grad(f, argnums=(0, 1, 2))(
             preds[0].astype(jnp.float32), preds[1].astype(jnp.float32),
             preds[2].astype(jnp.float32))
@@ -145,9 +180,8 @@ def main():
     def losses_fb_body(carry, i):
         def f(pn, pca, pc, ps):
             return total_loss(pn + carry[1] * 0.0, pca, pc, ps, *preds[4:],
-                              ) - lw.w_clash * clash_loss(
-                                  pn + carry[1] * 0.0, pca, pc, mask,
-                                  use_pallas=use_pallas)
+                              ) - lw.w_clash * routed_clash(
+                                  pn + carry[1] * 0.0, pca, pc, mask)
         args4 = tuple(p.astype(jnp.float32) for p in preds[:4])
         v, gs = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(*args4)
         return (carry[0], v + gs[0].ravel()[0]), ()
@@ -178,6 +212,8 @@ def main():
 
     time_body("full", full_body)
     time_body("fwd_loss", fwd_loss_body)
+    time_body("fwd_loss_nodrop", fwd_loss_nodrop_body)
+    time_body("opt_only", opt_body)
     time_body("enc_fb", enc_fb_body)
     time_body("dec_fb", dec_fb_body)
     time_body("clash_fb", clash_fb_body)
@@ -188,8 +224,10 @@ def main():
         shape=f"B{B}/L{L}", remat=remat,
         full_ms=ms["full"],
         backward_share=round(1 - ms["fwd_loss"] / ms["full"], 3),
+        dropout_rng_ms=round(ms["fwd_loss"] - ms["fwd_loss_nodrop"], 3),
         attribution={k: round(ms[k] / ms["full"], 3)
-                     for k in ("enc_fb", "dec_fb", "clash_fb", "losses_fb")},
+                     for k in ("opt_only", "enc_fb", "dec_fb", "clash_fb",
+                               "losses_fb")},
     )
     print(json.dumps({"summary": summary}), flush=True)
 

@@ -185,3 +185,21 @@ def test_egnn_layer_pallas_path_matches_xla(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_egnn_fold_sample_isolation(rng):
+    """Cross-batch folding (F=2 at L=64) must not mix samples: the folded
+    even-batch result equals per-sample (B=1, unfolded) runs stacked."""
+    a, bs, x, cmask, p = _egnn_inputs(rng, B=4)
+    W = 4
+    args = (p["w_d"], p["w_e2"], p["b_e2"], p["w_x1"], p["b_x1"],
+            p["w_x2"], p["b_x2"], W, jax.lax.Precision.HIGHEST)
+    agg, delta = egnn_band_fused(a, bs, x, cmask, *args)
+    for b in range(4):
+        agg_b, delta_b = egnn_band_fused(a[b:b + 1], bs[b:b + 1],
+                                         x[b:b + 1], cmask[b:b + 1], *args)
+        np.testing.assert_allclose(np.asarray(agg[b]), np.asarray(agg_b[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(delta[b]),
+                                   np.asarray(delta_b[0]),
+                                   rtol=1e-5, atol=1e-6)
