@@ -184,7 +184,7 @@ def bench_shape(B, L, steps, use_pallas="auto", remat=False,
 
     row = dict(
         B=B, L=L, dtype=dtype_name, remat=remat,
-        pallas=pallas_policy(L, use_pallas, backend),
+        pallas=pallas_policy(L, use_pallas, backend, B=B),
         samples_per_sec=round(B / dt, 3),
         ms_per_step=round(1e3 * dt, 3),
     )
@@ -308,8 +308,8 @@ def main():
             # dedup on the RESOLVED routing decision, not the raw flag:
             # BENCH_PALLAS=1 ("True") and "auto" pick the same kernel at
             # the headline shape and must not be measured twice
-            if (sb, sl) == (B, L) and pallas_policy(sl, up, backend) \
-                    == pallas_policy(L, headline_pallas, backend):
+            if (sb, sl) == (B, L) and pallas_policy(sl, up, backend, B=sb) \
+                    == pallas_policy(L, headline_pallas, backend, B=B):
                 continue   # already measured as the headline
             row = bench_shape(sb, sl, st, use_pallas=up, remat=rm,
                               dtype_name=dtype_name)

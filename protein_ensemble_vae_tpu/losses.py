@@ -324,7 +324,7 @@ def compute_total_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
     # shared policy with the EGNN band kernel — use_pallas=False disables
     # both.
     from protein_ensemble_vae_tpu.ops.routing import pallas_policy
-    if pallas_policy(mask.shape[1], use_pallas):
+    if pallas_policy(mask.shape[1], use_pallas, B=mask.shape[0]):
         from protein_ensemble_vae_tpu.ops.pallas.clash import clash_loss_pallas
         loss_clash = clash_loss_pallas(pred_n, pred_ca, pred_c, mask)
     else:

@@ -79,11 +79,12 @@ class EGNNBandLayer(nn.Module):
     use_pallas: object = False   # True | False | "auto"
     dtype: Dtype = jnp.float32
 
-    def _pallas_enabled(self, L: int) -> bool:
+    def _pallas_enabled(self, L: int, B: Optional[int] = None) -> bool:
         """Routing is centralized in ``ops.routing.pallas_policy`` (shared
-        with the clash-loss kernel)."""
+        with the clash-loss kernel). ``B`` lets the L=64 bucket route to the
+        cross-batch folded kernel when the fold is active."""
         from protein_ensemble_vae_tpu.ops.routing import pallas_policy
-        return pallas_policy(L, self.use_pallas)
+        return pallas_policy(L, self.use_pallas, B=B)
 
     @nn.compact
     def __call__(self, h: Array, x: Array, nbr_idx: Array, nbr_valid: Array,
@@ -109,7 +110,8 @@ class EGNNBandLayer(nn.Module):
         a_i = hc @ k_hi.astype(self.dtype) + b_hi.astype(self.dtype)
         b_j = hc @ k_hj.astype(self.dtype)
 
-        if cmask is not None and self._pallas_enabled(h.shape[1]):
+        if cmask is not None and self._pallas_enabled(h.shape[1],
+                                                      B=h.shape[0]):
             from protein_ensemble_vae_tpu.ops.pallas.egnn_band import (
                 egnn_band_fused)
 

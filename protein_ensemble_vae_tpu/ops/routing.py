@@ -23,19 +23,30 @@ from typing import Optional
 import jax
 
 # "auto" enables Pallas where it measured faster than XLA: L >= 128 on a
-# real TPU. Mosaic tiling requires L % 64 == 0 (sublane alignment of the
-# band blocks), which the length-bucket ladder guarantees.
+# real TPU, and — since the cross-batch fold lifted the L=64 tile to full
+# 128-row MXU occupancy (ops/pallas/egnn_band.py:_fold) — also at L=64 when
+# the batch is even (fold active) and the total row count B*L reaches the
+# measured win point. Mosaic tiling requires L % 64 == 0 (sublane alignment
+# of the band blocks), which the length-bucket ladder guarantees.
 PALLAS_AUTO_MIN_L = 128
 PALLAS_L_MULTIPLE = 64
+PALLAS_AUTO_MIN_ROWS = 1024   # B*L at the measured B16/L64 folded win
 
-# Measured crossover per bucket (single v5e, full-train-step, honest
-# scan-differenced timing — RESULTS.md "honest XLA-vs-Pallas grid"). This is
-# DATA, asserted by tests/test_routing.py against the policy, and re-checked
-# on hardware by ``scripts/bench_kernel_grid.py --assert_routing``. The
-# numbers are v5e-measured; on a new TPU generation run the grid script
-# once — if the crossover moves, update this table and PALLAS_AUTO_MIN_L
-# together (the guard test keeps them consistent).
-MEASURED_FASTER_IS_PALLAS = {64: False, 128: True, 256: True, 640: True}
+# Measured crossover per (B, L) shape (single v5e, full-train-step, honest
+# scan-differenced timing — RESULTS.md "honest XLA-vs-Pallas grid" + the
+# folded-kernel L=64 grid). This is DATA, asserted by tests/test_routing.py
+# against the policy, and re-checked on hardware by
+# ``scripts/bench_kernel_grid.py --assert_routing``. The numbers are
+# v5e-measured; on a new TPU generation run the grid script once — if the
+# crossover moves, update this table and the thresholds together (the guard
+# test keeps them consistent).
+MEASURED_FASTER_IS_PALLAS = {
+    (16, 64): True,    # folded kernel: 13.2 vs 19.1 ms
+    (8, 128): True,
+    (4, 256): True,
+    (16, 256): True,
+    (2, 640): True,
+}
 
 
 def pallas_supported(L: int, backend: Optional[str] = None) -> bool:
@@ -47,7 +58,8 @@ def pallas_supported(L: int, backend: Optional[str] = None) -> bool:
 
 
 def pallas_policy(L: int, use_pallas: object = "auto",
-                  backend: Optional[str] = None) -> bool:
+                  backend: Optional[str] = None,
+                  B: Optional[int] = None) -> bool:
     """Decide whether the Pallas path runs for sequence length ``L``.
 
     ``use_pallas`` is ``ModelConfig.use_pallas_egnn``:
@@ -58,10 +70,18 @@ def pallas_policy(L: int, use_pallas: object = "auto",
     - "interpret": forced on anywhere, interpret mode knowingly accepted
       (CPU parity tests).
     - False/None: forced off everywhere — including the clash kernel.
-    - "auto": on only in the measured-faster regime (TPU, L >= 128, aligned).
+    - "auto": on in the measured-faster regime — TPU + aligned + (L >= 128,
+      or L = 64 with the cross-batch fold active (even ``B``) and
+      B*L >= PALLAS_AUTO_MIN_ROWS). Callers that know the batch size pass
+      ``B``; without it the L=64 bucket conservatively stays on XLA.
     """
     if use_pallas == "auto":
-        return (L >= PALLAS_AUTO_MIN_L and pallas_supported(L, backend))
+        if not pallas_supported(L, backend):
+            return False
+        if L >= PALLAS_AUTO_MIN_L:
+            return True
+        return (B is not None and B % 2 == 0
+                and B * L >= PALLAS_AUTO_MIN_ROWS)
     if use_pallas == "interpret":
         return True
     if use_pallas:

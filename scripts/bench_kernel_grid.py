@@ -63,7 +63,7 @@ def main():
         xla = times[(B, L, False)]["ms_per_step"]
         pls = times[(B, L, True)]["ms_per_step"]
         measured_faster_is_pallas = pls < xla
-        auto = pallas_policy(L, "auto", backend)
+        auto = pallas_policy(L, "auto", backend, B=B)
         rec = dict(B=B, L=L, xla_ms=xla, pallas_ms=pls,
                    measured_faster="pallas" if measured_faster_is_pallas
                    else "xla", auto_picks="pallas" if auto else "xla",

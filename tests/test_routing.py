@@ -10,35 +10,40 @@ from protein_ensemble_vae_tpu.config import LossWeights
 from protein_ensemble_vae_tpu.ops.routing import pallas_policy
 
 
-@pytest.mark.parametrize("L,flag,backend,expected", [
-    # auto: only TPU + L >= 128 + 64-aligned (honest grid, RESULTS.md:
-    # Pallas faster at L128/256/640; XLA faster at L64)
-    (128, "auto", "tpu", True),
-    (256, "auto", "tpu", True),
-    (512, "auto", "tpu", True),
-    (640, "auto", "tpu", True),
-    (64, "auto", "tpu", False),      # tiny band: kernel launch overhead wins
-    (520, "auto", "tpu", False),     # not 64-aligned: Mosaic tiling unsupported
-    (512, "auto", "cpu", False),     # kernels are TPU-only
+@pytest.mark.parametrize("L,flag,backend,B,expected", [
+    # auto: only TPU + 64-aligned + (L >= 128, or folded L=64 with enough
+    # rows) — honest grid, RESULTS.md: Pallas faster at L128/256/640; at
+    # L=64 only the cross-batch folded kernel wins (B even, B*L >= 1024)
+    (128, "auto", "tpu", None, True),
+    (256, "auto", "tpu", None, True),
+    (512, "auto", "tpu", None, True),
+    (640, "auto", "tpu", None, True),
+    (64, "auto", "tpu", None, False),    # no batch info: conservative XLA
+    (64, "auto", "tpu", 16, True),       # folded kernel win (B*L = 1024)
+    (64, "auto", "tpu", 4, False),       # too few rows for the fold win
+    (64, "auto", "tpu", 17, False),      # odd batch: fold inactive
+    (520, "auto", "tpu", None, False),   # not 64-aligned: Mosaic unsupported
+    (512, "auto", "cpu", None, False),   # kernels are TPU-only
     # forced
-    (64, True, "tpu", True),
-    (64, "interpret", "cpu", True),
-    (640, False, "tpu", False),
-    (640, None, "tpu", False),
+    (64, True, "tpu", None, True),
+    (64, "interpret", "cpu", None, True),
+    (640, False, "tpu", None, False),
+    (640, None, "tpu", None, False),
 ])
-def test_pallas_policy(L, flag, backend, expected):
-    assert pallas_policy(L, flag, backend=backend) is expected
+def test_pallas_policy(L, flag, backend, B, expected):
+    assert pallas_policy(L, flag, backend=backend, B=B) is expected
 
 
 def test_auto_policy_matches_measured_crossover_table():
-    """The auto threshold must agree with the measured per-bucket winner
+    """The auto threshold must agree with the measured per-shape winner
     (VERDICT r2 weak #6) — the table lives in routing.py as data, and the
     hardware numbers behind it are re-checked on chip by
     ``scripts/bench_kernel_grid.py --assert_routing``."""
     from protein_ensemble_vae_tpu.ops.routing import MEASURED_FASTER_IS_PALLAS
 
-    for L, pallas_faster in MEASURED_FASTER_IS_PALLAS.items():
-        assert pallas_policy(L, "auto", backend="tpu") is pallas_faster, L
+    for (B, L), pallas_faster in MEASURED_FASTER_IS_PALLAS.items():
+        assert pallas_policy(L, "auto", backend="tpu", B=B) is pallas_faster, \
+            (B, L)
 
 
 def test_pallas_policy_forced_true_raises_off_tpu():
