@@ -154,14 +154,21 @@ def compute_ensemble_diversity(ensemble_coords: np.ndarray
     O(K²) sequential-SVD loop of reference
     ``validation_metrics.py:324-349`` is what the TPU build exists to kill
     (19,900 SVDs at K=200); the loop survives only as a parity oracle in
-    ``tests/test_eval_infer.py``."""
+    ``tests/test_eval_infer.py``.
+
+    NOTE the reference's convention (validation_metrics.py:341:
+    ``sqrt(((ci - cj_aligned)**2).mean())``): the mean runs over all 3L
+    scalar components, i.e. per-COMPONENT RMSD = standard per-atom RMSD
+    divided by sqrt(3). Diversity thresholds downstream (analyze CLI) are
+    calibrated to that convention, so we match it here."""
     from protein_ensemble_vae_tpu.ops.geometry import pairwise_kabsch_rmsd
 
     K = len(ensemble_coords)
     if K <= 1:
         return 0.0, np.zeros((K, K), np.float32)
-    M = np.asarray(pairwise_kabsch_rmsd(
+    M = np.array(pairwise_kabsch_rmsd(
         np.asarray(ensemble_coords, np.float32)), np.float32)
+    M /= np.float32(np.sqrt(3.0))   # per-atom -> reference per-component
     # exact zeros on the diagonal / symmetric by construction of the metric;
     # enforce them so downstream triu statistics are clean
     M = 0.5 * (M + M.T)
