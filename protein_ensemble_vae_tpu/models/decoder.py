@@ -32,6 +32,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from protein_ensemble_vae_tpu.models.init import (
+    TorchLinear,
+    torch_bias_init,
+    torch_kernel_init,
+)
 from protein_ensemble_vae_tpu.ops.geometry import (
     compact_valid,
     safe_norm,
@@ -92,19 +97,22 @@ class EGNNBandLayer(nn.Module):
                  ) -> tuple[Array, Array]:
         Hd = self.hidden
         Hin = h.shape[-1]
-        init = nn.initializers.lecun_normal()
-        zeros = nn.initializers.zeros
+        # The split first layer is one reference matrix W[2H+1, Hd]
+        # (en_gnn_decoder.py:34-37) — all three pieces and the bias use the
+        # JOINT fan-in so the init variance matches the unsplit layer.
+        fan_e1 = 2 * Hin + 1
+        init_e1 = torch_kernel_init(fan_e1)
 
-        k_hi = self.param("phi_e1_hi_kernel", init, (Hin, Hd))
-        b_hi = self.param("phi_e1_hi_bias", zeros, (Hd,))
-        k_hj = self.param("phi_e1_hj_kernel", init, (Hin, Hd))
-        k_d2 = self.param("phi_e1_d2_kernel", init, (1, Hd))
-        k_e2 = self.param("phi_e2_kernel", init, (Hd, Hd))
-        b_e2 = self.param("phi_e2_bias", zeros, (Hd,))
-        k_x1 = self.param("phi_x1_kernel", init, (Hd, Hd))
-        b_x1 = self.param("phi_x1_bias", zeros, (Hd,))
-        k_x2 = self.param("phi_x2_kernel", init, (Hd, 1))
-        b_x2 = self.param("phi_x2_bias", zeros, (1,))
+        k_hi = self.param("phi_e1_hi_kernel", init_e1, (Hin, Hd))
+        b_hi = self.param("phi_e1_hi_bias", torch_bias_init(fan_e1), (Hd,))
+        k_hj = self.param("phi_e1_hj_kernel", init_e1, (Hin, Hd))
+        k_d2 = self.param("phi_e1_d2_kernel", init_e1, (1, Hd))
+        k_e2 = self.param("phi_e2_kernel", torch_kernel_init(Hd), (Hd, Hd))
+        b_e2 = self.param("phi_e2_bias", torch_bias_init(Hd), (Hd,))
+        k_x1 = self.param("phi_x1_kernel", torch_kernel_init(Hd), (Hd, Hd))
+        b_x1 = self.param("phi_x1_bias", torch_bias_init(Hd), (Hd,))
+        k_x2 = self.param("phi_x2_kernel", torch_kernel_init(Hd), (Hd, 1))
+        b_x2 = self.param("phi_x2_bias", torch_bias_init(Hd), (1,))
 
         hc = h.astype(self.dtype)
         a_i = hc @ k_hi.astype(self.dtype) + b_hi.astype(self.dtype)
@@ -140,23 +148,14 @@ class EGNNBandLayer(nn.Module):
             raw_delta = jnp.sum((w * mask_k).astype(x.dtype) * rel, axis=2)
 
         # Node update: residual + LayerNorm.
-        hu = nn.Dense(Hd, dtype=self.dtype, name="phi_h1")(
+        hu = TorchLinear(Hd, dtype=self.dtype, name="phi_h1")(
             jnp.concatenate([hc, agg], axis=-1))
         hu = nn.silu(hu)
-        hu = nn.Dense(Hin, dtype=self.dtype, name="phi_h2")(hu)
+        hu = TorchLinear(Hin, dtype=self.dtype, name="phi_h2")(hu)
         h = nn.LayerNorm(dtype=self.dtype, name="norm_h")(h + hu)
 
         x = x + raw_delta.astype(x.dtype) * deg_inv[..., None] * 0.2
         return h, x
-
-
-def _scaled_kernel_init(scale: float):
-    base = nn.initializers.lecun_normal()
-
-    def init(key, shape, dtype=jnp.float32):
-        return base(key, shape, dtype) * scale
-
-    return init
 
 
 class EGNNDecoder(nn.Module):
@@ -197,18 +196,19 @@ class EGNNDecoder(nn.Module):
 
         # Latent-dependent coordinate initialization with 0.1-scaled final
         # layer (reference :124-137). Coordinates stay fp32 for geometry.
-        t = nn.Dense(self.hidden, dtype=self.dtype, name="l2c_dense1")(zc)
+        t = TorchLinear(self.hidden, dtype=self.dtype, name="l2c_dense1")(zc)
         t = nn.LayerNorm(dtype=self.dtype, name="l2c_norm")(t)
         t = nn.relu(t)
         t = nn.Dropout(self.dropout * 0.5)(t, deterministic=deterministic)
-        t = nn.Dense(self.hidden // 2, dtype=self.dtype, name="l2c_dense2")(t)
+        t = TorchLinear(self.hidden // 2, dtype=self.dtype,
+                        name="l2c_dense2")(t)
         t = nn.relu(t)
-        x = nn.Dense(3, dtype=jnp.float32, name="l2c_out",
-                     kernel_init=_scaled_kernel_init(0.1),
-                     bias_init=nn.initializers.zeros)(t)
+        x = TorchLinear(3, dtype=jnp.float32, name="l2c_out",
+                        kernel_scale=0.1, zero_bias=True)(t)
         x = x.astype(jnp.float32)                                # [B, L, 3]
 
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="input_embedding")(zc)
+        h = TorchLinear(self.hidden, dtype=self.dtype,
+                        name="input_embedding")(zc)
 
         # Band graph over compacted indices == reference window graph over
         # valid residues.
@@ -233,23 +233,28 @@ class EGNNDecoder(nn.Module):
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         # Sequence head on refined features (reference :160-172,253).
-        s = nn.Dense(self.hidden * 2, dtype=self.dtype, name="seq_dense1")(h)
+        s = TorchLinear(self.hidden * 2, dtype=self.dtype,
+                        name="seq_dense1")(h)
         s = nn.LayerNorm(dtype=self.dtype, name="seq_norm1")(s)
         s = nn.relu(s)
         s = nn.Dropout(self.dropout * 0.5)(s, deterministic=deterministic)
-        s = nn.Dense(self.hidden, dtype=self.dtype, name="seq_dense2")(s)
+        s = TorchLinear(self.hidden, dtype=self.dtype, name="seq_dense2")(s)
         s = nn.LayerNorm(dtype=self.dtype, name="seq_norm2")(s)
         s = nn.relu(s)
         s = nn.Dropout(self.dropout * 0.5)(s, deterministic=deterministic)
-        seq_logits = nn.Dense(20, dtype=jnp.float32, name="seq_out")(s)
+        seq_logits = TorchLinear(20, dtype=jnp.float32, name="seq_out")(s)
 
         # N/C placement: unit direction × fixed bond length (reference
         # :145-158,258-293; the 4th "length adjustment" channel is predicted
         # but unused, as in the reference).
-        n_head = nn.Dense(self.hidden // 2, dtype=self.dtype, name="n_off1")(h)
-        n_head = nn.Dense(4, dtype=jnp.float32, name="n_off2")(nn.relu(n_head))
-        c_head = nn.Dense(self.hidden // 2, dtype=self.dtype, name="c_off1")(h)
-        c_head = nn.Dense(4, dtype=jnp.float32, name="c_off2")(nn.relu(c_head))
+        n_head = TorchLinear(self.hidden // 2, dtype=self.dtype,
+                             name="n_off1")(h)
+        n_head = TorchLinear(4, dtype=jnp.float32,
+                             name="n_off2")(nn.relu(n_head))
+        c_head = TorchLinear(self.hidden // 2, dtype=self.dtype,
+                             name="c_off1")(h)
+        c_head = TorchLinear(4, dtype=jnp.float32,
+                             name="c_off2")(nn.relu(c_head))
 
         x_n = x + safe_normalize(n_head[..., :3]) * BOND_N_CA
         x_c = x + safe_normalize(c_head[..., :3]) * BOND_CA_C
