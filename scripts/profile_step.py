@@ -142,6 +142,10 @@ def main():
                      + jax.tree.leaves(params)[0].ravel()[0])), ()
 
     def enc_fb_body(carry, i):
+        # 0.5*sum(out^2) scalars: the output cotangent is the activation
+        # itself, so XLA cannot constant-fold the backward (a plain sum's
+        # all-ones cotangent lets W^T @ 1 collapse to row sums, which made
+        # this row report ~8x less than the component's true fwd+bwd cost).
         def f(params):
             _, _, mg, lg, ml, ll = model.apply(
                 {"params": params}, inp["seq_emb"], inp["n"], inp["ca"],
@@ -149,8 +153,8 @@ def main():
                 rngs={"reparam": jax.random.fold_in(key, i),
                       "dropout": jax.random.fold_in(key, i)},
                 method=model.encode)
-            return (jnp.sum(mg) + jnp.sum(lg) + jnp.sum(ml) + jnp.sum(ll)
-                    + carry[1] * 0.0).astype(jnp.float32)
+            sq = lambda a: 0.5 * jnp.sum(jnp.square(a.astype(jnp.float32)))
+            return sq(mg) + sq(lg) + sq(ml) + sq(ll) + carry[1] * 0.0
         v, g = jax.value_and_grad(f)(state.params)
         return (carry[0], v + jax.tree.leaves(g)[0].ravel()[0]), ()
 
@@ -164,8 +168,8 @@ def main():
                 mask, deterministic=False,
                 rngs={"dropout": jax.random.fold_in(key, i)},
                 method=model.decode)
-            return (jnp.sum(pca) + jnp.sum(pn) + jnp.sum(pc)
-                    + jnp.sum(ps)).astype(jnp.float32)
+            sq = lambda a: 0.5 * jnp.sum(jnp.square(a.astype(jnp.float32)))
+            return sq(pca) + sq(pn) + sq(pc) + sq(ps)
         v, g = jax.value_and_grad(f)(state.params)
         return (carry[0], v + jax.tree.leaves(g)[0].ravel()[0]), ()
 
