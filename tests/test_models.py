@@ -186,3 +186,48 @@ def test_dropout_rng_paths(model_and_params, rng):
                       rngs={"reparam": jax.random.PRNGKey(2),
                             "dropout": jax.random.PRNGKey(3)})
     assert np.all(np.isfinite(np.asarray(out[1])))
+
+
+def test_torch_matched_init_statistics(model_and_params):
+    """Every Dense kernel follows torch nn.Linear's default family:
+    U(+-1/sqrt(fan_in)) => |w| <= 1/sqrt(fan), std ~ 1/sqrt(3*fan).
+    Biases are bounded the same way; latent logvar bias halves sit at -2.0;
+    the split EGNN edge layer uses the JOINT reference fan-in 2H+1.
+    (Root-caused in the round-3 head-to-head: the lecun default's 3x
+    variance froze sequence recovery at 0.11 vs the reference's 0.44.)"""
+    _, variables = model_and_params
+    params = variables["params"]
+
+    def get(path):
+        node = params
+        for k in path.split("/"):
+            node = node[k]
+        return np.asarray(node)
+
+    # Encoder fusion kernel: fan_in = d_model.
+    w = get("encoder/enc/fusion_dense/kernel")
+    fan = w.shape[0]
+    bound = 1.0 / np.sqrt(fan)
+    assert np.abs(w).max() <= bound + 1e-7
+    assert np.isclose(w.std(), bound / np.sqrt(3), rtol=0.25)
+    b = get("encoder/enc/fusion_dense/bias")
+    assert np.abs(b).max() <= bound + 1e-7 and np.abs(b).max() > 0.0
+
+    # Latent head logvar bias halves at exactly -2.0, mu halves random.
+    for head, z in (("global_out", SMALL.z_global), ("local_out", SMALL.z_local)):
+        b = get(f"encoder/latent/{head}/bias")
+        assert np.all(b[z:] == -2.0)
+        assert np.abs(b[:z]).max() > 0.0 and np.abs(b[:z]).max() <= 1.0 / np.sqrt(256) + 1e-7
+
+    # Split EGNN edge-MLP first layer: joint fan 2H+1 for all three pieces.
+    H = SMALL.decoder_hidden
+    joint_bound = 1.0 / np.sqrt(2 * H + 1)
+    for piece in ("phi_e1_hi_kernel", "phi_e1_hj_kernel", "phi_e1_d2_kernel"):
+        w = get(f"decoder/egnn_0/{piece}")
+        assert np.abs(w).max() <= joint_bound + 1e-7, piece
+    assert np.abs(get("decoder/egnn_0/phi_e1_hi_bias")).max() <= joint_bound + 1e-7
+
+    # l2c_out keeps the reference's 0.1 kernel scale + zero bias.
+    w = get("decoder/l2c_out/kernel")
+    assert np.abs(w).max() <= 0.1 / np.sqrt(H // 2) + 1e-7
+    assert np.all(get("decoder/l2c_out/bias") == 0.0)
