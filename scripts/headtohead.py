@@ -24,6 +24,11 @@ Usage:
   python scripts/headtohead.py ref      # train the torch reference (CPU, slow)
   python scripts/headtohead.py tpu      # train this framework
   python scripts/headtohead.py report   # write runs/h2h/report.json + table
+  python scripts/headtohead.py gen      # generation quality head-to-head:
+        both trained checkpoints sample K posterior draws per val conformer
+        (the reference generator's procedure, generate_ensemble_pdbs.py:548-570)
+        and run the SAME gate + geometry/Ramachandran/clash battery
+        -> runs/h2h/gen_report.json
 Env: H2H_EPOCHS (default 200), H2H_ROOT (default runs/h2h).
 """
 
@@ -208,6 +213,11 @@ def run_tpu(epochs=EPOCHS):
                                       logger=logger)
     wall = time.time() - t0
 
+    # Persist the (best-restored) params for the `gen` stage.
+    from flax import serialization
+    with open(os.path.join(outdir, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state.params)))
+
     import numpy as np
     n_params = sum(int(np.prod(p.shape)) for p in
                    jax.tree_util.tree_leaves(state.params))
@@ -222,6 +232,167 @@ def run_tpu(epochs=EPOCHS):
         json.dump(out, f)
     print(f"[h2h/tpu] {epochs_run} epochs in {wall:.0f}s, best val rec "
           f"{loss_history['early_stopping']['best_val_metric']:.4f}")
+
+
+def _sample_metrics(n, ca, c, mask):
+    """Per-sample geometry battery shared by both sides (numpy)."""
+    import numpy as np
+
+    from protein_ensemble_vae_tpu.eval.analyze import clash_score
+    from protein_ensemble_vae_tpu.eval.ramachandran import (
+        classify_ramachandran, phi_psi_from_backbone)
+    from protein_ensemble_vae_tpu.infer.gate import validate_protein_geometry
+
+    ok, reason = validate_protein_geometry(ca, mask)
+    valid = mask > 0.5
+    pts = ca[valid]
+    d = np.linalg.norm(np.diff(pts, axis=0), axis=-1)
+    cn = np.linalg.norm(n[valid][1:] - c[valid][:-1], axis=-1)
+    phi, psi, pvalid = phi_psi_from_backbone(n, ca, c, mask)
+    rama = classify_ramachandran(phi, psi, pvalid)
+    return dict(
+        gate_pass=bool(ok), gate_reason=reason,
+        ca_ca_avg=float(d.mean()), ca_ca_max=float(d.max()),
+        c_n_err=float(np.abs(cn - 1.33).mean()),
+        rama_favored=rama["favored"], rama_outlier=rama["outlier"],
+        clash=clash_score(n, ca, c, mask))
+
+
+def _aggregate(per_sample, ensembles):
+    """Side-level aggregates + ensemble diversity via the vmapped battery."""
+    import numpy as np
+
+    from protein_ensemble_vae_tpu.eval.metrics import compute_ensemble_diversity
+
+    div = [compute_ensemble_diversity(np.stack(e))[0]
+           for e in ensembles if len(e) >= 2]
+    agg = dict(
+        n_samples=len(per_sample),
+        gate_pass_rate=float(np.mean([s["gate_pass"] for s in per_sample])),
+        ca_ca_avg=float(np.mean([s["ca_ca_avg"] for s in per_sample])),
+        ca_ca_max=float(np.max([s["ca_ca_max"] for s in per_sample])),
+        c_n_err=float(np.mean([s["c_n_err"] for s in per_sample])),
+        rama_favored=float(np.mean([s["rama_favored"] for s in per_sample])),
+        rama_outlier=float(np.mean([s["rama_outlier"] for s in per_sample])),
+        clash=float(np.mean([s["clash"] for s in per_sample])),
+        diversity=float(np.mean(div)) if div else None)
+    return agg
+
+
+def run_gen(K: int = 20):
+    """Generation head-to-head: both trained checkpoints, same val
+    conformers, the reference generator's posterior-sampling procedure
+    (z = mu + eps*sigma, temperature 1.0, generate_ensemble_pdbs.py:548-556),
+    the same geometry gate, and the same analysis battery."""
+    import numpy as np
+
+    from protein_ensemble_vae_tpu.data import EnsembleDataset
+
+    from types import SimpleNamespace
+
+    from protein_ensemble_vae_tpu.data.dataset import process_conformer
+
+    _, val_csv = manifests()
+    ds = EnsembleDataset(val_csv, use_seqemb=True)
+    # Centered exactly as training batches are (valid-CA centroid).
+    confs = [SimpleNamespace(**process_conformer(cf)) for cf in ds.conformers]
+    print(f"[h2h/gen] {len(confs)} val conformers, K={K} samples each")
+    results = {}
+
+    # ---------------- torch reference ----------------
+    _stub_wandb()
+    sys.path.insert(0, "/root/reference/models")
+    import torch
+    from model import HierCVAE as RefHierCVAE
+
+    ck = torch.load(os.path.join(ROOT, "ref", "best_model.pt"),
+                    map_location="cpu", weights_only=False)
+    hp = ck["hyperparameters"]
+    tm = RefHierCVAE(seqemb_dim=hp["seqemb_dim"], d_model=hp["d_model"],
+                     nhead=hp["nhead"], ff=hp["ff"], nlayers=hp["nlayers"],
+                     z_g=hp["z_global"], z_l=hp["z_local"],
+                     dropout=HP["dropout"],
+                     decoder_hidden=hp["decoder_hidden"])
+    tm.load_state_dict(ck["model_state_dict"])
+    tm.eval()
+    torch.manual_seed(0)
+
+    per, ens = [], []
+    with torch.no_grad():
+        for cf in confs:
+            T = lambda a: torch.tensor(np.asarray(a)[None])
+            mask = T(cf.mask)
+            _, _, mu_g, lv_g, mu_l, lv_l = tm.encode(
+                T(cf.seq_emb), T(cf.n), T(cf.ca), T(cf.c),
+                T(cf.dihedrals), mask)
+            coords = []
+            for _ in range(K):
+                z_g = mu_g + torch.randn_like(mu_g) * torch.exp(0.5 * lv_g)
+                z_l = mu_l + torch.randn_like(mu_l) * torch.exp(0.5 * lv_l)
+                pn, pca, pc, _ = tm.decode(z_g, z_l, mask=mask)
+                nn_, ca_, c_ = (x[0].numpy() for x in (pn, pca, pc))
+                per.append(_sample_metrics(nn_, ca_, c_,
+                                           np.asarray(cf.mask)))
+                coords.append(ca_)
+            ens.append(coords)
+    results["ref"] = _aggregate(per, ens)
+    print("[h2h/gen] ref:", json.dumps(results["ref"]))
+
+    # ---------------- this framework ----------------
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from protein_ensemble_vae_tpu.config import ModelConfig
+    from protein_ensemble_vae_tpu.models import HierCVAE
+
+    cfg = ModelConfig(
+        seqemb_dim=HP["seqemb_dim"], d_model=HP["d_model"],
+        nhead=HP["nhead"], ff=HP["ff"], nlayers=HP["nlayers"],
+        z_global=HP["z_global"], z_local=HP["z_local"],
+        dropout=HP["dropout"], decoder_hidden=HP["decoder_hidden"],
+        decoder_layers=HP["decoder_layers"],
+        max_neighbors=HP["max_neighbors"], use_seqemb=True)
+    jm = HierCVAE(cfg, dtype=jnp.float32)
+    cf0 = confs[0]
+    A = lambda a: jnp.asarray(np.asarray(a)[None])
+    template = jm.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        A(cf0.seq_emb), A(cf0.n), A(cf0.ca), A(cf0.c), A(cf0.dihedrals),
+        A(cf0.mask))["params"]
+    with open(os.path.join(ROOT, "tpu", "params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(template, f.read())
+
+    key = jax.random.PRNGKey(0)
+    per, ens = [], []
+    for ci, cf in enumerate(confs):
+        mask = A(cf.mask)
+        _, _, mu_g, lv_g, mu_l, lv_l = jm.apply(
+            {"params": params}, A(cf.seq_emb), A(cf.n), A(cf.ca), A(cf.c),
+            A(cf.dihedrals), mask, deterministic=True,
+            rngs={"reparam": jax.random.PRNGKey(0)}, method=jm.encode)
+        kg, kl = jax.random.split(jax.random.fold_in(key, ci))
+        # K posterior draws decoded in ONE batched call (DEVIATIONS #18).
+        z_g = (mu_g + jax.random.normal(kg, (K,) + mu_g.shape[1:])
+               * jnp.exp(0.5 * lv_g))
+        z_l = (mu_l + jax.random.normal(kl, (K,) + mu_l.shape[1:])
+               * jnp.exp(0.5 * lv_l))
+        mask_k = jnp.broadcast_to(mask, (K,) + mask.shape[1:])
+        pn, pca, pc, _ = jm.apply(
+            {"params": params}, z_g, z_l, mask_k, deterministic=True,
+            method=jm.decode)
+        pn, pca, pc = (np.asarray(x) for x in (pn, pca, pc))
+        for k in range(K):
+            per.append(_sample_metrics(pn[k], pca[k], pc[k],
+                                       np.asarray(cf.mask)))
+        ens.append(list(pca))
+    results["tpu"] = _aggregate(per, ens)
+    print("[h2h/gen] tpu:", json.dumps(results["tpu"]))
+
+    out_path = os.path.join(ROOT, "gen_report.json")
+    with open(out_path, "w") as f:
+        json.dump(dict(K=K, **results), f, indent=2)
+    print(f"[h2h/gen] report -> {out_path}")
 
 
 def report():
@@ -276,6 +447,8 @@ if __name__ == "__main__":
     elif cmd == "tpu":
         import jax  # noqa: F401  (imported here so `data`/`ref` stay torch-only)
         run_tpu(ep)
+    elif cmd == "gen":
+        run_gen(ep if len(sys.argv) > 2 else 20)
     elif cmd == "report":
         report()
     else:
