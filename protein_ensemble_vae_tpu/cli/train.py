@@ -57,6 +57,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--w_angle", type=float, default=500.0)
     ap.add_argument("--w_seq", type=float, default=50.0)
     ap.add_argument("--w_clash", type=float, default=300.0)
+    ap.add_argument("--bond_delta", type=float, default=1.0,
+                    help="multiplier on the reference huber bond deltas "
+                         "(1.0 = exact reference parity)")
+    ap.add_argument("--w_ca_spacing", type=float, default=0.0,
+                    help="beyond-reference virtual CA-CA 3.81A spacing bond "
+                         "(0 = off/parity)")
+    ap.add_argument("--strict_geometry", action="store_true",
+                    help="preset: bond_delta=25 (quadratic region covers "
+                         "real sampled-bond errors) + w_ca_spacing=100 -- "
+                         "targets the generation geometry gate that both "
+                         "the reference and the parity configuration fail "
+                         "100%% of the time (runs/h2h/gen_report.json)")
 
     ap.add_argument("--kl_schedule", type=str, default="cyclical",
                     choices=["cyclical", "monotonic", "adaptive", "exponential"])
@@ -161,7 +173,10 @@ def main(argv=None):
             klw_global=args.klw_global, klw_local=args.klw_local,
             w_dihedral=args.w_dihedral, w_rama=args.w_rama,
             w_bond=args.w_bond, w_angle=args.w_angle, w_seq=args.w_seq,
-            w_clash=args.w_clash),
+            w_clash=args.w_clash,
+            bond_delta=25.0 if args.strict_geometry else args.bond_delta,
+            w_ca_spacing=(100.0 if args.strict_geometry
+                          else args.w_ca_spacing)),
         train=TrainConfig(
             batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
             seed=args.seed, kl_schedule=args.kl_schedule,

@@ -71,6 +71,16 @@ class LossWeights:
     w_angle: float = 500.0
     w_seq: float = 50.0
     w_clash: float = 300.0
+    # -- beyond-reference geometry options (defaults = exact reference
+    # parity). The reference's huber deltas (losses.py:318-355) are so small
+    # that a 2 A broken peptide bond costs ~0.02 loss units — the root cause
+    # of its 0 % geometry-gate pass rate on sampled conformers (measured in
+    # runs/h2h/gen_report.json). `--strict_geometry` raises the deltas so
+    # the quadratic region covers real errors, and adds a virtual CA-CA
+    # spacing bond (3.81 A) — the quantity the generation gate actually
+    # checks.
+    bond_delta: float = 1.0          # multiplier on the reference huber deltas
+    w_ca_spacing: float = 0.0        # virtual CA(i)-CA(i+1) ~ 3.81 A bond
 
     @classmethod
     def from_dict(cls, d: dict) -> "LossWeights":

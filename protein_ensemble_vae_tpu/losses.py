@@ -162,25 +162,52 @@ def huber(x: Array, delta: float = 0.2) -> Array:
 
 
 def bond_length_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
-                     mask: Array) -> Array:
+                     mask: Array, delta_scale: float = 1.0) -> Array:
     """Huber penalties on N-CA (1.46, δ=0.02), CA-C (1.52, δ=0.02) and 2× the
-    inter-residue C-N peptide bond (1.33, δ=0.01) (losses.py:318-355)."""
+    inter-residue C-N peptide bond (1.33, δ=0.01) (losses.py:318-355).
+
+    ``delta_scale`` (default 1.0 = reference parity) multiplies the huber
+    deltas: at the reference values a 2 Å broken peptide bond sits deep in
+    the linear tail and costs only ~0.02 loss units — the measured root
+    cause of the 0 % geometry-gate pass rate on sampled conformers (both
+    implementations, runs/h2h/gen_report.json)."""
     msum = jnp.maximum(jnp.sum(mask), 1.0)
+    ds = delta_scale
 
     n_ca = safe_norm(pred_ca - pred_n) - 1.46
-    p_n_ca = jnp.sum(huber(n_ca, 0.02) * mask) / msum
+    p_n_ca = jnp.sum(huber(n_ca, 0.02 * ds) * mask) / msum
 
     ca_c = safe_norm(pred_c - pred_ca) - 1.52
-    p_ca_c = jnp.sum(huber(ca_c, 0.02) * mask) / msum
+    p_ca_c = jnp.sum(huber(ca_c, 0.02 * ds) * mask) / msum
 
     if pred_n.shape[1] > 1:
         c_n = safe_norm(pred_n[:, 1:] - pred_c[:, :-1]) - 1.33
         pair_mask = mask[:, :-1] * mask[:, 1:]
-        p_c_n = jnp.sum(huber(c_n, 0.01) * pair_mask) / jnp.maximum(jnp.sum(pair_mask), 1.0)
+        p_c_n = jnp.sum(huber(c_n, 0.01 * ds) * pair_mask) / jnp.maximum(jnp.sum(pair_mask), 1.0)
     else:
         p_c_n = jnp.zeros((), dtype=pred_n.dtype)
 
     return p_n_ca + p_ca_c + 2.0 * p_c_n
+
+
+CA_CA_VIRTUAL = 3.81
+
+
+def ca_spacing_loss(pred_ca: Array, mask: Array,
+                    delta: float = 0.5) -> Array:
+    """Virtual CA(i)-CA(i+1) bond at 3.81 Å (trans-peptide spacing).
+
+    Beyond-reference term (off by default, ``LossWeights.w_ca_spacing``):
+    consecutive-CA spacing is exactly what the generation geometry gate
+    checks (gate.py / reference generate_ensemble_pdbs.py:290-340), but no
+    reference loss term constrains it directly — sampled conformers drift
+    to 4.5-5.4 Å average spacing and fail the gate 100 % of the time."""
+    if pred_ca.shape[1] < 2:
+        return jnp.zeros((), dtype=pred_ca.dtype)
+    d = safe_norm(pred_ca[:, 1:] - pred_ca[:, :-1]) - CA_CA_VIRTUAL
+    pair_mask = mask[:, :-1] * mask[:, 1:]
+    return (jnp.sum(huber(d, delta) * pair_mask)
+            / jnp.maximum(jnp.sum(pair_mask), 1.0))
 
 
 _TARGET_NCAC = 110.0 * math.pi / 180.0
@@ -315,7 +342,8 @@ def compute_total_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
     loss_omega = omega_trans_loss(pred_dih, mask)
     loss_dihedral = loss_dih_cons + loss_omega
 
-    loss_bond = bond_length_loss(pred_n, pred_ca, pred_c, mask)
+    loss_bond = bond_length_loss(pred_n, pred_ca, pred_c, mask,
+                                 delta_scale=weights.bond_delta)
     loss_angle = bond_angle_loss(pred_n, pred_ca, pred_c, mask)
     loss_seq = sequence_classification_loss(pred_seq, target_seq_labels, mask)
 
@@ -341,7 +369,15 @@ def compute_total_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
              + weights.w_seq * loss_seq
              + weights.w_clash * loss_clash)
 
+    # Beyond-reference virtual CA-CA spacing bond (opt-in; 0.0 = parity).
+    extra = {}
+    if weights.w_ca_spacing:
+        loss_ca_spacing = ca_spacing_loss(pred_ca, mask)
+        total = total + weights.w_ca_spacing * loss_ca_spacing
+        extra["ca_spacing"] = loss_ca_spacing
+
     return {
+        **extra,
         "total": total,
         "reconstruction": loss_rec,
         "reconstruction_ca": loss_rec_ca,

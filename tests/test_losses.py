@@ -233,3 +233,62 @@ def test_free_bits_floor():
     lv = jnp.zeros((2, 8))
     v = L.free_bits_kl(mu, lv, free_bits=2.0)
     np.testing.assert_allclose(float(v), 16.0, rtol=1e-6)  # 8 dims * 2 nats
+
+
+def test_strict_geometry_options_parity_and_effect(rng):
+    """bond_delta=1 / w_ca_spacing=0 reproduce the parity configuration
+    exactly; the strict options add gradient signal in the broken-bond
+    regime the reference huber deltas leave nearly flat."""
+    b = _batch(rng)
+    n, ca, c, mask = (jnp.asarray(b[k]) for k in ("n", "ca", "c", "mask"))
+
+    # delta_scale=1.0 is the default-path value.
+    assert float(L.bond_length_loss(n, ca, c, mask)) == float(
+        L.bond_length_loss(n, ca, c, mask, delta_scale=1.0))
+
+    # In a ~2A-broken-bond regime the strict delta multiplies the gradient.
+    g_ref = jax.grad(lambda x: L.bond_length_loss(x, ca, c, mask))(n)
+    g_strict = jax.grad(
+        lambda x: L.bond_length_loss(x, ca, c, mask, delta_scale=25.0))(n)
+    assert float(jnp.linalg.norm(g_strict)) > 5 * float(jnp.linalg.norm(g_ref))
+
+
+def test_ca_spacing_loss():
+    # Ideal 3.81A spacing -> zero; stretched chain -> positive, masked pairs
+    # excluded.
+    ca = jnp.array([[[0.0, 0, 0], [3.81, 0, 0], [7.62, 0, 0]]])
+    mask = jnp.ones((1, 3))
+    assert float(L.ca_spacing_loss(ca, mask)) < 1e-9
+
+    ca_bad = jnp.array([[[0.0, 0, 0], [5.5, 0, 0], [11.0, 0, 0]]])
+    v = float(L.ca_spacing_loss(ca_bad, mask))
+    assert v > 0.1
+    # masking the last residue removes one of the two bad pairs
+    mask2 = jnp.array([[1.0, 1.0, 0.0]])
+    v2 = float(L.ca_spacing_loss(ca_bad, mask2))
+    assert abs(v2 - v) < 1e-6  # both remaining pairs equally bad -> same mean
+    # gradient finite and pulls the stretched pair together
+    g = jax.grad(lambda x: L.ca_spacing_loss(x, mask))(ca_bad)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_total_loss_ca_spacing_opt_in(rng):
+    b = _batch(rng)
+    n, ca, c, mask = (jnp.asarray(b[k]) for k in ("n", "ca", "c", "mask"))
+    logits = jnp.asarray(b["logits"])
+    labels = jnp.asarray(b["labels"])
+    mu = jnp.asarray(b["mu"]); lv = jnp.asarray(b["lv"])
+    mu_l = jnp.asarray(b["mu_l"]); lv_l = jnp.asarray(b["lv_l"])
+    dih = dihedrals_from_coords(n, ca, c, mask)
+
+    def total(weights):
+        return L.compute_total_loss(
+            n, ca, c, logits, n, ca, c, labels, mask, mu, lv, mu_l, lv_l,
+            dih, klw_g=jnp.float32(1.0), klw_l=jnp.float32(0.5),
+            weights=weights, use_pallas=False)
+
+    base = total(LossWeights())
+    assert "ca_spacing" not in base  # parity: key absent when off
+    strict = total(LossWeights(w_ca_spacing=100.0))
+    assert "ca_spacing" in strict
+    assert float(strict["total"]) >= float(base["total"])
