@@ -12,7 +12,10 @@ become reportable against BASELINE.md targets.
 
 Usage: python scripts/flagship_run.py [data|train|gen|all]
 Env: FLAGSHIP_ROOT (default runs/flagship), FLAGSHIP_EPOCHS (default 400),
-     FLAGSHIP_WARMUP (default 120).
+     FLAGSHIP_WARMUP (default 120), FLAGSHIP_STRICT=1 (--strict_geometry:
+     the beyond-reference bond/spacing losses targeting the generation
+     gate both parity configurations fail — use a separate FLAGSHIP_ROOT
+     to keep the parity run's artifacts).
 """
 
 from __future__ import annotations
@@ -52,6 +55,8 @@ def train():
            "--checkpoint_every", "50",
            "--save", os.path.join(ROOT, "ckpt"),
            "--log_jsonl", os.path.join(ROOT, "train_log.jsonl")]
+    if os.environ.get("FLAGSHIP_STRICT") == "1":
+        cmd.append("--strict_geometry")
     print("[flagship]", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True, env=ENV, cwd=REPO)
 
