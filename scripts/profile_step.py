@@ -18,6 +18,15 @@ carry; walltime of a synchronous final fetch is differenced between two
 scan lengths. Components overlap (enc+dec+losses ≈ fwd graph), so rows are
 a *attribution*, not a partition; the backward share is full − fwd_loss.
 
+CAVEAT (measured, round 3): component rows with no loop-carried parameter
+dependency (everything except ``full``) pipeline across scan iterations on
+TPU and can under-read their in-chain serialized cost by up to ~3× — the
+identical fwd+bwd math measured 4.0 ms without the optimizer update vs
+13.4 ms with it. Treat component rows as steady-state throughput, the
+``full`` row as the honest per-step latency, and prefer term-removal
+subtraction on the full step for attribution (RESULTS.md "Step-time
+attribution").
+
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_step.py
 Env: PROF_BATCH/PROF_LEN/PROF_STEPS, PROF_REMAT=1, PROF_PALLAS (auto).
 Prints one JSON line per row + a summary.
