@@ -11,9 +11,12 @@ Measured regimes (RESULTS.md "honest XLA-vs-Pallas grid", single v5e chip,
 scan-differenced synchronous timing — see CLAUDE.md on why async timing
 lies on this tunnel):
 - full-train-step speedups with both kernels on: 1.26x at B8/L128,
-  1.80x at B4/L256, 1.28x at B16/L256, 2.68x at B2/L640+remat;
-- at L = 64 the XLA path wins (16.4 vs 23.5 ms at B16 — per-kernel launch
-  overhead dominates the tiny band), so "auto" keeps Pallas off there.
+  2.22x at B4/L256, 1.72x at B16/L256, 3.42x at B2/L640+remat;
+- at L = 64 the un-folded kernel loses (16.4 vs 23.5 ms at B16 — a 64-row
+  band under-fills the 128-row MXU tile), but the cross-batch fold
+  (ops/pallas/egnn_band.py:_fold) stacks two batch rows per tile and wins
+  13.2 vs 19.1 ms (1.45x), so "auto" enables it when the fold applies
+  (even B, B*L >= 1024).
 """
 
 from __future__ import annotations
