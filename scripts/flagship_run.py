@@ -24,6 +24,13 @@ import os
 import subprocess
 import sys
 
+# The tunneled TPU is single-client: if THIS orchestrator process ever
+# initializes the axon backend (data.synthetic touches jax.numpy), the
+# train/generate SUBPROCESSES block forever waiting for the chip. Pin the
+# parent to CPU before any jax-importing module loads; the children get a
+# cleaned env with the chip path restored.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -32,6 +39,7 @@ EPOCHS = int(os.environ.get("FLAGSHIP_EPOCHS", "400"))
 WARMUP = int(os.environ.get("FLAGSHIP_WARMUP", "120"))
 ENV = dict(os.environ,
            PYTHONPATH=f"{REPO}:/root/.axon_site")
+ENV.pop("JAX_PLATFORMS", None)  # children pick the axon chip normally
 
 
 def build_data():

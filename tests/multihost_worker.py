@@ -64,6 +64,14 @@ def main():
     batches = per_process_batches(ds, jax.process_index(), 2)[:N_STEPS]
     arrs = [_batch_to_arrays(b, cfg.seqemb_dim) for b in batches]
 
+    # Establish the gloo context NOW, while both processes are at the same
+    # point (just past import): XLA's gloo init has a hard-coded 30 s
+    # GetKeyValue timeout, and if it first fires inside the train step the
+    # two processes can be minutes apart on this 1-core host (compile skew)
+    # — the suite flaked exactly that way under load.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("gloo-warmup")
+
     # identical seed on both processes -> identical replicated params
     state = create_train_state(model, jax.random.PRNGKey(0), arrs[0]["inp"])
     mesh = make_mesh(dp=8, tp=1)
