@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     ap.add_argument("--save", default="checkpoints/hier_cvae")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init_from", default=None,
+                    help="warm-start: load PARAMS ONLY from this checkpoint "
+                         "dir (fresh optimizer/LR/KL-scheduler state, epoch "
+                         "1) -- for fine-tuning with changed loss weights, "
+                         "e.g. --strict_geometry on an annealed checkpoint. "
+                         "Mutually exclusive with --resume.")
     ap.add_argument("--checkpoint_every", type=int, default=0)
     ap.add_argument("--compute_dtype", default="float32",
                     choices=["float32", "bfloat16"])
@@ -249,6 +255,8 @@ def main(argv=None):
 
     start_epoch = 1
     init_state = None
+    if args.resume and args.init_from:
+        raise SystemExit("--init_from and --resume are mutually exclusive")
     if args.resume and os.path.isdir(os.path.join(args.save, "best")):
         from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
                                                                load_meta)
@@ -265,6 +273,30 @@ def main(argv=None):
         init_state = load_checkpoint(path, template)
         start_epoch = load_meta(path)["epoch"] + 1
         logger.info(f"[resume] from {path} at epoch {start_epoch}")
+    elif args.init_from:
+        from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
+                                                               load_meta)
+        from protein_ensemble_vae_tpu.data import make_epoch_batches
+        from protein_ensemble_vae_tpu.train.training import (
+            _batch_to_arrays, create_train_state)
+        import jax
+        import dataclasses
+        src_model = load_meta(args.init_from).get("config", {}).get("model")
+        if src_model is not None and src_model != dataclasses.asdict(cfg.model):
+            logger.info("[init_from] WARNING: checkpoint model config differs "
+                        "from the current one; params must still be "
+                        "tree-compatible")
+        first = next(iter(make_epoch_batches(
+            train_ds, cfg.train.batch_size, cfg.train.bucket_sizes, False,
+            cfg.train.seed)))
+        sample = _batch_to_arrays(first, cfg.model.seqemb_dim)["inp"]
+        template = create_train_state(model, jax.random.PRNGKey(0), sample)
+        loaded = load_checkpoint(args.init_from, template)
+        # params only: fresh optimizer moments, step 0, schedulers from cfg
+        init_state = template.replace(params=loaded.params)
+        logger.info(f"[init_from] params warm-started from {args.init_from} "
+                    f"(epoch {load_meta(args.init_from)['epoch']}); optimizer/"
+                    "scheduler state fresh")
 
     state, history = train_model(model, train_ds, val_ds, cfg, logger=logger,
                                  jit_wrapper=jit_wrapper,
