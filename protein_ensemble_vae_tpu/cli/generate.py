@@ -27,6 +27,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="sequence decode mode "
                          "(reference sequence_utils.py:44-70)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--refine_steps", type=int, default=0,
+                    help="generation-time geometric refinement: N jitted "
+                         "Adam iterations relaxing each sampled backbone "
+                         "under bond/CA-spacing/angle/clash energies with a "
+                         "soft anchor to the sample (0 = off, reference-"
+                         "parity behavior; see infer/refine.py)")
+    ap.add_argument("--refine_lr", type=float, default=0.02)
+    ap.add_argument("--refine_anchor", type=float, default=0.05,
+                    help="anchor strength to the unrefined sample (higher "
+                         "= preserve more conformational signal)")
     return ap
 
 
@@ -71,7 +81,10 @@ def main(argv=None):
                              max_structures=args.max_structures,
                              buckets=cfg.train.bucket_sizes,
                              temperature=args.temperature,
-                             seq_decode=args.seq_decode)
+                             seq_decode=args.seq_decode,
+                             refine_steps=args.refine_steps,
+                             refine_lr=args.refine_lr,
+                             refine_anchor=args.refine_anchor)
     print(f"[generate] wrote {len(out['results'])} structures to "
           f"{args.output_dir}; summary: {out['summary_path']}")
 

@@ -58,6 +58,9 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                        buckets=(64, 128, 192, 256, 320, 384, 448, 512, 576, 640),
                        temperature: float = 1.0,
                        seq_decode: str = "argmax",
+                       refine_steps: int = 0,
+                       refine_lr: float = 0.02,
+                       refine_anchor: float = 0.05,
                        verbose: bool = True) -> dict:
     os.makedirs(output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(seed)
@@ -121,6 +124,11 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
         mask_rep = jnp.broadcast_to(mask_j, (num_samples, L_pad))
         ens_n, ens_ca, ens_c, _ = _decode_jit(model, variables, zs_g, zs_l,
                                               mask_rep)
+        if refine_steps > 0:
+            from protein_ensemble_vae_tpu.infer.refine import refine_backbone
+            ens_n, ens_ca, ens_c = refine_backbone(
+                ens_n, ens_ca, ens_c, mask_rep, steps=refine_steps,
+                lr=refine_lr, anchor_weight=refine_anchor)
         ens_n, ens_ca, ens_c = (np.asarray(a) for a in (ens_n, ens_ca, ens_c))
 
         keep, reasons = [], []

@@ -1,0 +1,100 @@
+"""Generation-time geometric refinement of sampled backbones (TPU-native).
+
+Posterior-sampled conformers carry locally broken backbone geometry —
+stretched peptide bonds and CA-CA spacings well past the generator gate's
+6 Å cutoff. The reference has no remedy: its own generator fails the gate
+on 100 % of samples and silently keeps them all
+(generate_ensemble_pdbs.py:290-340 + :560-570 keep-all fallback; its
+expert analysis documents 12 % Ramachandran favored / 72 % outliers).
+
+This module fixes the samples instead of discarding them: a
+fixed-iteration Adam relaxation of the backbone coordinates under the
+local geometry energies (bond lengths, virtual CA-CA spacing, bond
+angles, steric clash) plus a soft anchor to the sampled coordinates, so
+the conformational content of the sample is preserved while its local
+covalent geometry is restored. Analogous in spirit to AlphaFold's
+post-predict relax, built compiler-first: a single ``lax.scan`` over a
+static step count, jitted once per length bucket, batched over the whole
+ensemble — no per-sample host loop, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from protein_ensemble_vae_tpu import losses as L
+
+
+def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
+            bond_delta_scale, w_spacing, spacing_delta, w_angle, w_clash):
+    """Local-geometry energy + soft anchor. All terms reuse the (masked,
+    bounded-gradient) training losses, with deltas raised into their
+    quadratic region so ~Å-scale violations produce proportional forces."""
+    n, ca, c = coords["n"], coords["ca"], coords["c"]
+    e = (w_bond * L.bond_length_loss(n, ca, c, mask,
+                                     delta_scale=bond_delta_scale)
+         + w_spacing * L.ca_spacing_loss(ca, mask, delta=spacing_delta)
+         + w_angle * L.bond_angle_loss(n, ca, c, mask)
+         + w_clash * L.clash_loss(n, ca, c, mask))
+    msum = 3.0 * jnp.maximum(jnp.sum(mask), 1.0)
+    anchor = sum(
+        jnp.sum(jnp.square(coords[k] - ref[k]) * mask[..., None])
+        for k in ("n", "ca", "c")) / msum
+    return e + anchor_weight * anchor
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def refine_backbone(n, ca, c, mask, *, steps: int = 100, lr: float = 0.02,
+                    anchor_weight: float = 0.05, w_bond: float = 1.0,
+                    bond_delta_scale: float = 50.0, w_spacing: float = 1.0,
+                    spacing_delta: float = 3.0, w_angle: float = 0.5,
+                    w_clash: float = 0.3):
+    """Relax backbone coordinates toward valid local geometry.
+
+    Args:
+      n, ca, c: ``[B, L, 3]`` backbone atom coordinates (any float dtype).
+      mask: ``[B, L]`` residue validity.
+      steps: static number of Adam iterations (one compiled ``lax.scan``).
+      lr: Adam step size in Å-ish units.
+      anchor_weight: strength of the pull back to the input coordinates
+        (per-atom mean squared Å). Higher preserves more of the sample's
+        conformation; lower fixes worse geometry.
+
+    Returns:
+      ``(n, ca, c)`` refined coordinates, same shapes/dtypes as the input.
+    """
+    dtype = ca.dtype
+    coords0 = {"n": jnp.asarray(n, jnp.float32),
+               "ca": jnp.asarray(ca, jnp.float32),
+               "c": jnp.asarray(c, jnp.float32)}
+    maskf = jnp.asarray(mask, jnp.float32)
+
+    energy = functools.partial(
+        _energy, ref=coords0, mask=maskf, anchor_weight=anchor_weight,
+        w_bond=w_bond, bond_delta_scale=bond_delta_scale,
+        w_spacing=w_spacing, spacing_delta=spacing_delta, w_angle=w_angle,
+        w_clash=w_clash)
+    grad_fn = jax.grad(energy)
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(coords0)
+
+    def body(carry, _):
+        coords, opt_state = carry
+        g = grad_fn(coords)
+        updates, opt_state = tx.update(g, opt_state, coords)
+        coords = optax.apply_updates(coords, updates)
+        return (coords, opt_state), None
+
+    (coords, _), _ = jax.lax.scan(body, (coords0, opt_state), None,
+                                  length=steps)
+    # padded rows never accumulate force (every term is masked), but pin
+    # them to the input exactly so downstream padding invariants hold
+    m3 = maskf[..., None]
+    out = {k: coords[k] * m3 + coords0[k] * (1.0 - m3) for k in coords}
+    return (out["n"].astype(dtype), out["ca"].astype(dtype),
+            out["c"].astype(dtype))

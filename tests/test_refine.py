@@ -1,0 +1,98 @@
+"""Generation-time geometric refinement (infer/refine.py).
+
+The failure mode it targets: posterior samples with stretched CA-CA /
+peptide bonds that the generator gate (infer/gate.py, reference
+generate_ensemble_pdbs.py:290-340) rejects. Refinement must restore gate
+validity while staying close to the input conformation, and must leave
+padded rows untouched.
+"""
+
+import numpy as np
+import pytest
+
+from protein_ensemble_vae_tpu.data.synthetic import compact_backbone
+from protein_ensemble_vae_tpu.infer.gate import validate_protein_geometry
+from protein_ensemble_vae_tpu.infer.refine import refine_backbone
+
+L_REAL, L_PAD = 24, 32
+
+
+@pytest.fixture(scope="module")
+def broken_batch():
+    """A 1.35x-stretched compact backbone with one hard-broken bond
+    (residue 10 shoved 2.2 A along the chain): avg CA-CA ~5.3 A and max
+    ~7.3 A -> gate reject, exactly the dominant failure in
+    runs/h2h/gen_report.json."""
+    n, ca, c = compact_backbone(L_REAL, seed=3)
+    stretch = 1.35
+    n, ca, c = n * stretch, ca * stretch, c * stretch
+    d = ca[10] - ca[9]
+    d /= np.linalg.norm(d)
+    for a in (n, ca, c):
+        a[10] += 2.2 * d
+    n, ca, c = (np.pad(a, ((0, L_PAD - L_REAL), (0, 0)))
+                for a in (n, ca, c))
+    mask = np.zeros(L_PAD, np.float32)
+    mask[:L_REAL] = 1.0
+    return (np.stack([n, n]), np.stack([ca, ca]), np.stack([c, c]),
+            np.stack([mask, mask]))
+
+
+def _ca_spacings(ca, mask):
+    valid = mask > 0.5
+    pts = ca[valid]
+    return np.linalg.norm(np.diff(pts, axis=0), axis=-1)
+
+
+def test_refine_restores_gate_validity(broken_batch):
+    n, ca, c, mask = broken_batch
+    ok0, reason0 = validate_protein_geometry(ca[0], mask[0])
+    assert not ok0 and "CA-CA" in reason0  # fixture really is broken
+
+    rn, rca, rc = refine_backbone(n, ca, c, mask, steps=150, lr=0.05)
+    rn, rca, rc = np.asarray(rn), np.asarray(rca), np.asarray(rc)
+
+    for b in range(2):
+        ok, reason = validate_protein_geometry(rca[b], mask[b])
+        assert ok, reason
+
+    # local geometry actually improved, not just squeaked past the gate
+    d0 = _ca_spacings(ca[0], mask[0])
+    d1 = _ca_spacings(rca[0], mask[0])
+    assert abs(d1.mean() - 3.81) < abs(d0.mean() - 3.81)
+    assert d1.max() < 6.0 < d0.max()
+
+    # peptide C(i)-N(i+1) bonds pulled toward 1.33 A
+    def cn_err(nn, cc):
+        d = np.linalg.norm(nn[1:L_REAL] - cc[:L_REAL - 1], axis=-1)
+        return np.abs(d - 1.33).mean()
+    assert cn_err(rn[0], rc[0]) < cn_err(n[0], c[0])
+
+
+def test_refine_preserves_conformation_and_padding(broken_batch):
+    n, ca, c, mask = broken_batch
+    rn, rca, rc = refine_backbone(n, ca, c, mask, steps=80, lr=0.05)
+    rn, rca, rc = np.asarray(rn), np.asarray(rca), np.asarray(rc)
+
+    # padded rows byte-identical to the input
+    for a, r in ((n, rn), (ca, rca), (c, rc)):
+        np.testing.assert_array_equal(a[:, L_REAL:], r[:, L_REAL:])
+
+    # anchored: mean displacement stays local (fixing ~1 A bond errors
+    # must not teleport the fold)
+    disp = np.linalg.norm(rca[0, :L_REAL] - ca[0, :L_REAL], axis=-1)
+    assert disp.mean() < 3.0
+
+
+def test_refine_noop_on_valid_geometry():
+    """An already-valid backbone must pass through nearly unchanged."""
+    n, ca, c = compact_backbone(L_REAL, seed=7)
+    mask = np.ones(L_REAL, np.float32)
+    ok, reason = validate_protein_geometry(ca, mask)
+    assert ok, reason
+    rn, rca, rc = refine_backbone(n[None], ca[None], c[None], mask[None],
+                                  steps=50, lr=0.02)
+    ok2, reason2 = validate_protein_geometry(np.asarray(rca)[0], mask)
+    assert ok2, reason2
+    disp = np.linalg.norm(np.asarray(rca)[0] - ca, axis=-1)
+    assert disp.mean() < 0.5
