@@ -279,11 +279,36 @@ SUITE_SHAPES = [
 QUICK_SUITE_SHAPES = [SUITE_SHAPES[0], SUITE_SHAPES[2]]
 
 
+def _backend_init_watchdog(timeout_s: float = 240.0):
+    """The axon tunnel's PJRT init retries forever when the relay is down —
+    a bench run would then hang instead of producing its one JSON line.
+    Arm a hard-exit timer; cancel it once jax.devices() has answered."""
+    import threading
+
+    def _fire():
+        print(json.dumps({
+            "metric": "train_step_samples_per_sec", "value": None,
+            "unit": "samples/s", "vs_baseline": None,
+            "error": f"backend init exceeded {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable?)"}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(timeout_s, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
 
     from protein_ensemble_vae_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+
+    watchdog = _backend_init_watchdog(
+        float(os.environ.get("BENCH_INIT_TIMEOUT_S", "240")))
+    jax.devices()   # forces backend init; hangs here if the tunnel is dead
+    watchdog.cancel()
 
     dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
     # Fused Pallas band kernel (BENCH_PALLAS=1): forces the kernel for the

@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "under bond/CA-spacing/angle/clash energies with a "
                          "soft anchor to the sample (0 = off, reference-"
                          "parity behavior; see infer/refine.py)")
-    ap.add_argument("--refine_lr", type=float, default=0.02)
+    ap.add_argument("--refine_lr", type=float, default=0.05)
     ap.add_argument("--refine_anchor", type=float, default=0.05,
                     help="anchor strength to the unrefined sample (higher "
                          "= preserve more conformational signal)")

@@ -10,7 +10,8 @@ expert analysis documents 12 % Ramachandran favored / 72 % outliers).
 This module fixes the samples instead of discarding them: a
 fixed-iteration Adam relaxation of the backbone coordinates under the
 local geometry energies (bond lengths, virtual CA-CA spacing, bond
-angles, steric clash) plus a soft anchor to the sampled coordinates, so
+angles, steric clash, Ramachandran basins + trans-omega through the
+differentiable torsion op) plus a soft anchor to the sampled coordinates, so
 the conformational content of the sample is preserved while its local
 covalent geometry is restored. Analogous in spirit to AlphaFold's
 post-predict relax, built compiler-first: a single ``lax.scan`` over a
@@ -27,19 +28,28 @@ import jax.numpy as jnp
 import optax
 
 from protein_ensemble_vae_tpu import losses as L
+from protein_ensemble_vae_tpu.ops.geometry import dihedrals_from_coords
 
 
 def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
-            bond_delta_scale, w_spacing, spacing_delta, w_angle, w_clash):
+            bond_delta_scale, w_spacing, spacing_delta, w_angle, w_clash,
+            w_rama, w_omega):
     """Local-geometry energy + soft anchor. All terms reuse the (masked,
     bounded-gradient) training losses, with deltas raised into their
-    quadratic region so ~Å-scale violations produce proportional forces."""
+    quadratic region so ~Å-scale violations produce proportional forces.
+    The torsion terms (Ramachandran basins + trans-omega, through the
+    differentiable ``dihedrals_from_coords``) keep the relaxation from
+    trading covalent fixes for backbone-dihedral damage."""
     n, ca, c = coords["n"], coords["ca"], coords["c"]
     e = (w_bond * L.bond_length_loss(n, ca, c, mask,
                                      delta_scale=bond_delta_scale)
          + w_spacing * L.ca_spacing_loss(ca, mask, delta=spacing_delta)
          + w_angle * L.bond_angle_loss(n, ca, c, mask)
          + w_clash * L.clash_loss(n, ca, c, mask))
+    if w_rama != 0.0 or w_omega != 0.0:
+        dih = dihedrals_from_coords(n, ca, c, mask)
+        e = (e + w_rama * L.ramachandran_loss(dih, mask)
+             + w_omega * L.omega_trans_loss(dih, mask))
     msum = 3.0 * jnp.maximum(jnp.sum(mask), 1.0)
     anchor = sum(
         jnp.sum(jnp.square(coords[k] - ref[k]) * mask[..., None])
@@ -47,12 +57,16 @@ def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
     return e + anchor_weight * anchor
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
-def refine_backbone(n, ca, c, mask, *, steps: int = 100, lr: float = 0.02,
+@functools.partial(jax.jit, static_argnames=(
+    "steps", "lr", "anchor_weight", "w_bond", "bond_delta_scale",
+    "w_spacing", "spacing_delta", "w_angle", "w_clash", "w_rama",
+    "w_omega"))
+def refine_backbone(n, ca, c, mask, *, steps: int = 150, lr: float = 0.05,
                     anchor_weight: float = 0.05, w_bond: float = 1.0,
                     bond_delta_scale: float = 50.0, w_spacing: float = 1.0,
                     spacing_delta: float = 3.0, w_angle: float = 0.5,
-                    w_clash: float = 0.3):
+                    w_clash: float = 5.0, w_rama: float = 0.5,
+                    w_omega: float = 0.5):
     """Relax backbone coordinates toward valid local geometry.
 
     Args:
@@ -77,7 +91,7 @@ def refine_backbone(n, ca, c, mask, *, steps: int = 100, lr: float = 0.02,
         _energy, ref=coords0, mask=maskf, anchor_weight=anchor_weight,
         w_bond=w_bond, bond_delta_scale=bond_delta_scale,
         w_spacing=w_spacing, spacing_delta=spacing_delta, w_angle=w_angle,
-        w_clash=w_clash)
+        w_clash=w_clash, w_rama=w_rama, w_omega=w_omega)
     grad_fn = jax.grad(energy)
 
     tx = optax.adam(lr)

@@ -85,14 +85,28 @@ def test_refine_preserves_conformation_and_padding(broken_batch):
 
 
 def test_refine_noop_on_valid_geometry():
-    """An already-valid backbone must pass through nearly unchanged."""
+    """A gate-valid backbone must stay gate-valid and anchored. With the
+    torsion terms off (pure covalent energy), a backbone with ideal bonds
+    is a near-fixpoint; with them on, torsion idealization may move a
+    random fold (its dihedrals aren't in the favored basins) but the
+    anchor keeps the displacement local."""
     n, ca, c = compact_backbone(L_REAL, seed=7)
     mask = np.ones(L_REAL, np.float32)
     ok, reason = validate_protein_geometry(ca, mask)
     assert ok, reason
+
     rn, rca, rc = refine_backbone(n[None], ca[None], c[None], mask[None],
-                                  steps=50, lr=0.02)
+                                  steps=50, lr=0.02, w_rama=0.0, w_omega=0.0,
+                                  w_clash=0.0)
     ok2, reason2 = validate_protein_geometry(np.asarray(rca)[0], mask)
     assert ok2, reason2
     disp = np.linalg.norm(np.asarray(rca)[0] - ca, axis=-1)
     assert disp.mean() < 0.5
+
+    # full default energy: still gate-valid, still anchored
+    rn, rca, rc = refine_backbone(n[None], ca[None], c[None], mask[None],
+                                  steps=150, lr=0.05)
+    ok3, reason3 = validate_protein_geometry(np.asarray(rca)[0], mask)
+    assert ok3, reason3
+    disp = np.linalg.norm(np.asarray(rca)[0] - ca, axis=-1)
+    assert disp.mean() < 2.0
