@@ -77,6 +77,7 @@ def generate_and_analyze():
         [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.generate",
          "--checkpoint", ckpt, "--manifest", val_csv,
          "--num_samples", "20", "--temperature", "0.7",
+         "--refine_steps", os.environ.get("FLAGSHIP_REFINE", "150"),
          "--output_dir", outdir],
         [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.analyze",
          "--pdb_dir", outdir,
