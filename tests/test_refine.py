@@ -84,6 +84,28 @@ def test_refine_preserves_conformation_and_padding(broken_batch):
     assert disp.mean() < 3.0
 
 
+def test_refine_cli_roundtrip(broken_batch, tmp_path, capsys):
+    """pev-refine: read a broken multi-model PDB, relax, write gate-valid."""
+    from protein_ensemble_vae_tpu.cli.refine import main as refine_main
+    from protein_ensemble_vae_tpu.infer.pdb_io import (read_pdb_backbone,
+                                                       write_multi_model_pdb)
+
+    n, ca, c, mask = broken_batch
+    src = str(tmp_path / "broken.pdb")
+    out = str(tmp_path / "refined.pdb")
+    write_multi_model_pdb(n[:, :L_REAL], ca[:, :L_REAL], c[:, :L_REAL],
+                          mask[0, :L_REAL], src)
+    refine_main(["--input", src, "--output", out, "--steps", "150"])
+    printed = capsys.readouterr().out
+    assert "before: gate 0/2" in printed and "after : gate 2/2" in printed
+
+    ens = read_pdb_backbone(out)
+    assert ens["ca"].shape[0] == 2
+    for k in range(2):
+        ok, reason = validate_protein_geometry(ens["ca"][k], ens["mask"])
+        assert ok, reason
+
+
 def test_refine_noop_on_valid_geometry():
     """A gate-valid backbone must stay gate-valid and anchored. With the
     torsion terms off (pure covalent energy), a backbone with ideal bonds
