@@ -395,6 +395,83 @@ def run_gen(K: int = 20):
     print(f"[h2h/gen] report -> {out_path}")
 
 
+def run_refine_ref(K: int = 20):
+    """Repair the REFERENCE's own posterior samples with this framework's
+    geometric refinement (infer/refine.py): sample the trained torch
+    checkpoint exactly as `gen` does, then relax every sample and score
+    before/after with the same battery -> runs/h2h/refine_ref_report.json.
+    Demonstrates pev-refine on upstream-generated structures."""
+    import numpy as np
+    from types import SimpleNamespace
+
+    from protein_ensemble_vae_tpu.data import EnsembleDataset
+    from protein_ensemble_vae_tpu.data.dataset import process_conformer
+    from protein_ensemble_vae_tpu.infer.pdb_io import write_multi_model_pdb
+
+    _, val_csv = manifests()
+    ds = EnsembleDataset(val_csv, use_seqemb=True)
+    confs = [SimpleNamespace(**process_conformer(cf)) for cf in ds.conformers]
+    print(f"[h2h/refine_ref] {len(confs)} val conformers, K={K}")
+
+    _stub_wandb()
+    sys.path.insert(0, "/root/reference/models")
+    import torch
+    from model import HierCVAE as RefHierCVAE
+
+    ck = torch.load(os.path.join(ROOT, "ref", "best_model.pt"),
+                    map_location="cpu", weights_only=False)
+    hp = ck["hyperparameters"]
+    tm = RefHierCVAE(seqemb_dim=hp["seqemb_dim"], d_model=hp["d_model"],
+                     nhead=hp["nhead"], ff=hp["ff"], nlayers=hp["nlayers"],
+                     z_g=hp["z_global"], z_l=hp["z_local"],
+                     dropout=HP["dropout"],
+                     decoder_hidden=hp["decoder_hidden"])
+    tm.load_state_dict(ck["model_state_dict"])
+    tm.eval()
+    torch.manual_seed(0)
+
+    per_b, per_a, ens_b, ens_a = [], [], [], []
+    from protein_ensemble_vae_tpu.infer.refine import refine_backbone
+    for ci, cf in enumerate(confs):
+        mask_np = np.asarray(cf.mask)
+        with torch.no_grad():
+            T = lambda a: torch.tensor(np.asarray(a)[None])
+            mask = T(cf.mask)
+            _, _, mu_g, lv_g, mu_l, lv_l = tm.encode(
+                T(cf.seq_emb), T(cf.n), T(cf.ca), T(cf.c),
+                T(cf.dihedrals), mask)
+            ns, cas, cs = [], [], []
+            for _ in range(K):
+                z_g = mu_g + torch.randn_like(mu_g) * torch.exp(0.5 * lv_g)
+                z_l = mu_l + torch.randn_like(mu_l) * torch.exp(0.5 * lv_l)
+                pn, pca, pc, _ = tm.decode(z_g, z_l, mask=mask)
+                ns.append(pn[0].numpy()); cas.append(pca[0].numpy())
+                cs.append(pc[0].numpy())
+        n_b, ca_b, c_b = (np.stack(x) for x in (ns, cas, cs))
+        mask_k = np.broadcast_to(mask_np[None], ca_b.shape[:2])
+        n_a, ca_a, c_a = (np.asarray(x) for x in refine_backbone(
+            n_b, ca_b, c_b, mask_k))
+        for k in range(K):
+            per_b.append(_sample_metrics(n_b[k], ca_b[k], c_b[k], mask_np))
+            per_a.append(_sample_metrics(n_a[k], ca_a[k], c_a[k], mask_np))
+        ens_b.append(list(ca_b)); ens_a.append(list(ca_a))
+        if ci == 0:   # one artifact pair on disk
+            write_multi_model_pdb(n_b, ca_b, c_b, mask_np,
+                                  os.path.join(ROOT, "ref_gen_raw.pdb"))
+            write_multi_model_pdb(n_a, ca_a, c_a, mask_np,
+                                  os.path.join(ROOT, "ref_gen_refined.pdb"))
+
+    out = dict(K=K,
+               ref_raw=_aggregate(per_b, ens_b),
+               ref_refined=_aggregate(per_a, ens_a))
+    path = os.path.join(ROOT, "refine_ref_report.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("[h2h/refine_ref] raw    :", json.dumps(out["ref_raw"]))
+    print("[h2h/refine_ref] refined:", json.dumps(out["ref_refined"]))
+    print(f"[h2h/refine_ref] report -> {path}")
+
+
 def report():
     sides = {}
     for side in ("ref", "tpu"):
@@ -449,6 +526,8 @@ if __name__ == "__main__":
         run_tpu(ep)
     elif cmd == "gen":
         run_gen(ep if len(sys.argv) > 2 else 20)
+    elif cmd == "refine_ref":
+        run_refine_ref(ep if len(sys.argv) > 2 else 20)
     elif cmd == "report":
         report()
     else:
