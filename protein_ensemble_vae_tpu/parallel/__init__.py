@@ -1,4 +1,5 @@
 from protein_ensemble_vae_tpu.parallel.mesh import (  # noqa: F401
+    coordination_barrier,
     initialize_multihost,
     make_mesh,
     make_parallel_jit,

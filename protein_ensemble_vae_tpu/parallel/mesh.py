@@ -68,6 +68,23 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(**kwargs)
 
 
+def coordination_barrier(name: str, timeout_s: float = 1200.0) -> None:
+    """Block until every process reaches this barrier — via the
+    coordination service (plain RPC to the coordinator), NOT a device
+    collective. Use it to align processes around compile boundaries: the
+    first execution of a sharded step performs the collectives' rendezvous
+    under a short hard timeout (30 s gloo KV exchange on CPU), so
+    multi-host callers should ``compile_only`` the step everywhere, meet
+    here, and only then take the first real step. No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:   # initialized by other means; nothing to sync on
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def validate_mesh_config(dp: int, tp: int, batch_size: int,
                          model_cfg=None, n_devices: Optional[int] = None
                          ) -> None:
@@ -168,7 +185,13 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
     replicated (dp) x TP-sharded (tp), scalars replicated.
 
     Returned wrapper matches the step signature
-    ``step(state, batch, rng, klw_g, klw_l, lr)``.
+    ``step(state, batch, rng, klw_g, klw_l, lr)``; it additionally accepts
+    ``compile_only=True`` to AOT-compile (lower + compile, no execution).
+    Multi-host callers should compile-only on every process and then meet
+    at a coordination-service barrier BEFORE the first real step: the first
+    execution performs the collectives' rendezvous (gloo KV exchange on
+    CPU, analogous setup on TPU pods) under a short hard timeout, and
+    compile-time skew between processes is the thing that blows it.
     """
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp"))
@@ -176,7 +199,7 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
     def wrapper(step_fn):
         jitted = {}
 
-        def call(state, batch, rng, klw_g, klw_l, lr):
+        def call(state, batch, rng, klw_g, klw_l, lr, compile_only=False):
             if jax.process_count() > 1:
                 # multi-host: each process holds its local batch shard; the
                 # global array spanning the mesh is assembled from the
@@ -204,6 +227,10 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
                     in_shardings=(state_sh, batch_sh, repl, repl, repl, repl),
                     out_shardings=(state_sh, repl),
                 )
+            if compile_only:
+                jitted[key].lower(state, batch, rng, klw_g, klw_l,
+                                  lr).compile()
+                return None
             return jitted[key](state, batch, rng, klw_g, klw_l, lr)
 
         return call

@@ -78,6 +78,18 @@ def main():
     step = make_train_step(model, LossWeights(), train=True,
                            jit_wrapper=make_parallel_jit(mesh, use_tp=False))
 
+    # AOT-compile the sharded step on BOTH processes, then meet at a
+    # coordination-service barrier (plain RPC, no 30 s gloo limit) before
+    # the first real execution: the executable's gloo KV rendezvous fires
+    # at first run, and compile-time skew between two processes on a
+    # loaded 1-core host otherwise blows its hard-coded 30 s timeout.
+    from protein_ensemble_vae_tpu.parallel import coordination_barrier
+    step(state, arrs[0],
+         jax.random.fold_in(jax.random.PRNGKey(3), 0),
+         jnp.float32(1.0), jnp.float32(0.5), jnp.float32(1e-4),
+         compile_only=True)
+    coordination_barrier("pev-step-compiled")
+
     losses = []
     for i, b in enumerate(arrs):
         state, m = step(state, b,

@@ -45,19 +45,30 @@ def test_two_process_dp8_matches_single_process(mh_dataset, tmp_path):
     from multihost_worker import (BATCH_PER_PROCESS, MODEL_KW, N_STEPS,
                                   per_process_batches)
 
-    port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.pop("JAX_PLATFORMS", None)  # worker sets platform via jax.config
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(port), str(i), mh_dataset, outs[i]],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=2400)
-        logs.append(out.decode(errors="replace"))
+
+    def spawn_workers():
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(i), mh_dataset, outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=2400)
+            logs.append(out.decode(errors="replace"))
+        return procs, logs
+
+    procs, logs = spawn_workers()
+    if any(p.returncode != 0 for p in procs) and any(
+            "Gloo context initialization failed" in lg for lg in logs):
+        # XLA's gloo init has a hard-coded 30 s KV timeout; on this 1-core
+        # host an unrelated background load can skew the two workers past
+        # it. That is an infra timeout, not a sharding bug — retry once.
+        procs, logs = spawn_workers()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 
