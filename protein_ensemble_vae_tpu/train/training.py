@@ -288,6 +288,32 @@ def train_model(model: HierCVAE, train_ds, val_ds, run_config: RunConfig,
     eval_step = make_train_step(model, lw, train=False,
                                 grad_clip=tcfg.grad_clip,
                                 jit_wrapper=jit_wrapper)
+
+    if jax.process_count() > 1 and jit_wrapper is not None:
+        # Multi-host: a sharded executable's FIRST execution performs the
+        # collectives' rendezvous under a short hard timeout (30 s gloo KV
+        # exchange on CPU; analogous setup on pods), and per-process compile
+        # skew is what blows it. Before the first execution of each new
+        # batch shape, AOT-compile on every process and meet at a
+        # coordination-service barrier (parallel/mesh.py).
+        from protein_ensemble_vae_tpu.parallel import coordination_barrier
+
+        def _aligned(step, tag):
+            seen: set = set()
+
+            def call(state, batch, rng, klw_g, klw_l, lr):
+                shp = batch["inp"]["ca"].shape[:2]
+                if shp not in seen:
+                    step(state, batch, rng, klw_g, klw_l, lr,
+                         compile_only=True)
+                    coordination_barrier(f"pev-{tag}-{shp[0]}x{shp[1]}")
+                    seen.add(shp)
+                return step(state, batch, rng, klw_g, klw_l, lr)
+
+            return call
+
+        train_step = _aligned(train_step, "train")
+        eval_step = _aligned(eval_step, "eval")
     # plain-jit fallback for val batches that don't divide the dp mesh
     eval_step_fallback = None
     if tcfg.dp > 1:

@@ -33,8 +33,49 @@ def per_process_batches(dataset, process_index, process_count):
         process_index=process_index, process_count=process_count))
 
 
+def run_train_model(data_root, out_json):
+    """Drive the FULL train_model loop (the --multihost CLI path: sharded
+    batch factory + parallel jit + the aligned-compile barrier in
+    train_model) for 2 epochs and record the epoch losses."""
+    import functools
+    import json as _json
+
+    import jax
+
+    from protein_ensemble_vae_tpu.config import (LossWeights, ModelConfig,
+                                                 RunConfig, TrainConfig)
+    from protein_ensemble_vae_tpu.data import EnsembleDataset
+    from protein_ensemble_vae_tpu.data.collate import make_sharded_epoch_batches
+    from protein_ensemble_vae_tpu.models import HierCVAE
+    from protein_ensemble_vae_tpu.parallel import make_mesh, make_parallel_jit
+    from protein_ensemble_vae_tpu.train import train_model
+    from protein_ensemble_vae_tpu.utils import MetricLogger
+
+    cfg = RunConfig(
+        model=ModelConfig(**MODEL_KW), loss=LossWeights(),
+        train=TrainConfig(batch_size=BATCH_PER_PROCESS, epochs=2, lr=1e-4,
+                          seed=SHUFFLE_SEED, bucket_sizes=BUCKETS,
+                          kl_schedule="cyclical", dp=8, tp=1))
+    model = HierCVAE(cfg.model)
+    ds = EnsembleDataset(os.path.join(data_root, "manifest_train.csv"),
+                         use_seqemb=True)
+    mesh = make_mesh(dp=8, tp=1)
+    make_batches = functools.partial(
+        make_sharded_epoch_batches, process_index=jax.process_index(),
+        process_count=jax.process_count())
+    _, history = train_model(model, ds, ds, cfg, logger=MetricLogger(),
+                             jit_wrapper=make_parallel_jit(mesh, use_tp=False),
+                             make_batches=make_batches)
+    with open(out_json, "w") as f:
+        _json.dump({"process": jax.process_index(),
+                    "losses": history["train"]["loss"],
+                    "val_losses": history["val"]["loss"]}, f)
+    jax.distributed.shutdown()
+
+
 def main():
     port, process_id, data_root, out_json = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -56,6 +97,9 @@ def main():
 
     assert jax.process_count() == 2, jax.process_count()
     assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+    if mode == "train_model":
+        return run_train_model(data_root, out_json)
 
     cfg = ModelConfig(**MODEL_KW)
     model = HierCVAE(cfg)

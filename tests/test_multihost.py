@@ -112,3 +112,42 @@ def test_two_process_dp8_matches_single_process(mh_dataset, tmp_path):
         expect.append(float(m["loss"]))
 
     np.testing.assert_allclose(results[0]["losses"], expect, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_train_model_loop(mh_dataset, tmp_path):
+    """The full --multihost training path (train_model + sharded batch
+    factory + aligned-compile barrier) executes 2 epochs across 2 real
+    processes with identical, finite epoch losses."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)
+    outs = [str(tmp_path / f"tm{i}.json") for i in range(2)]
+
+    def spawn():
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(i), mh_dataset, outs[i],
+             "train_model"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=2400)
+            logs.append(out.decode(errors="replace"))
+        return procs, logs
+
+    procs, logs = spawn()
+    if any(p.returncode != 0 for p in procs) and any(
+            "Gloo context initialization failed" in lg for lg in logs):
+        procs, logs = spawn()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    assert len(results[0]["losses"]) == 2
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(results[0]["val_losses"],
+                               results[1]["val_losses"], rtol=1e-6)
+    assert all(np.isfinite(v) for v in results[0]["losses"])
