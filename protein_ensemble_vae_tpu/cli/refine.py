@@ -47,13 +47,20 @@ def main(argv=None):
     ens = read_pdb_backbone(args.input)
     n, ca, c, mask = ens["n"], ens["ca"], ens["c"], ens["mask"]
     K = ca.shape[0]
-    mask_k = np.broadcast_to(mask[None], ca.shape[:2])
+    # per-MODEL mask: in a heterogeneous ensemble (e.g. NMR models that
+    # resolve different termini) a residue absent from model k sits at
+    # (0,0,0) there — refining it under the union mask would drag model
+    # k's real neighbors toward the origin
+    mask_k = ens.get("model_mask")
+    if mask_k is None:
+        mask_k = np.broadcast_to(mask[None], ca.shape[:2])
 
     def report(tag, nn, cc_a, cc):
-        ok = sum(validate_protein_geometry(cc_a[k], mask)[0] for k in range(K))
-        cl = float(np.mean([clash_score(nn[k], cc_a[k], cc[k], mask)
+        ok = sum(validate_protein_geometry(cc_a[k], mask_k[k])[0]
+                 for k in range(K))
+        cl = float(np.mean([clash_score(nn[k], cc_a[k], cc[k], mask_k[k])
                             for k in range(K)]))
-        b = bond_length_stats(nn[0], cc_a[0], cc[0], mask)
+        b = bond_length_stats(nn[0], cc_a[0], cc[0], mask_k[0])
         print(f"[refine] {tag}: gate {ok}/{K}  clash {cl:.1f}  "
               f"C-N err {b['c_n']['mean_error']:.3f}A "
               f"(viol {b['c_n']['violation_frac']:.1%})")
@@ -65,7 +72,7 @@ def main(argv=None):
     rn, rca, rc = np.asarray(rn), np.asarray(rca), np.asarray(rc)
     ok = report("after ", rn, rca, rc)
 
-    write_multi_model_pdb(rn, rca, rc, mask, args.output,
+    write_multi_model_pdb(rn, rca, rc, np.asarray(mask_k), args.output,
                           sequence=ens.get("sequence"),
                           title=f"REFINED ENSEMBLE ({K} MODELS)")
     print(f"[refine] wrote {args.output} ({ok}/{K} gate-valid)")

@@ -134,6 +134,8 @@ def main(argv=None):
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.resume and args.init_from:
+        raise SystemExit("--init_from and --resume are mutually exclusive")
 
     if args.multihost:
         # must precede first backend use; after it jax.devices() spans hosts
@@ -253,44 +255,38 @@ def main(argv=None):
                              os.path.join(args.save, "watch"),
                              args.watch_every, logger=logger)
 
-    start_epoch = 1
-    init_state = None
-    if args.resume and args.init_from:
-        raise SystemExit("--init_from and --resume are mutually exclusive")
-    if args.resume and os.path.isdir(os.path.join(args.save, "best")):
-        from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
-                                                               load_meta)
+    def template_state():
+        """TrainState with the current run's structure, for orbax restore."""
         from protein_ensemble_vae_tpu.data import make_epoch_batches
         from protein_ensemble_vae_tpu.train.training import (
             _batch_to_arrays, create_train_state)
         import jax
-        path = os.path.join(args.save, "best")
         first = next(iter(make_epoch_batches(
             train_ds, cfg.train.batch_size, cfg.train.bucket_sizes, False,
             cfg.train.seed)))
         sample = _batch_to_arrays(first, cfg.model.seqemb_dim)["inp"]
-        template = create_train_state(model, jax.random.PRNGKey(0), sample)
-        init_state = load_checkpoint(path, template)
+        return create_train_state(model, jax.random.PRNGKey(0), sample)
+
+    start_epoch = 1
+    init_state = None
+    if args.resume and os.path.isdir(os.path.join(args.save, "best")):
+        from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
+                                                               load_meta)
+        path = os.path.join(args.save, "best")
+        init_state = load_checkpoint(path, template_state())
         start_epoch = load_meta(path)["epoch"] + 1
         logger.info(f"[resume] from {path} at epoch {start_epoch}")
     elif args.init_from:
+        import dataclasses
+
         from protein_ensemble_vae_tpu.train.checkpoint import (load_checkpoint,
                                                                load_meta)
-        from protein_ensemble_vae_tpu.data import make_epoch_batches
-        from protein_ensemble_vae_tpu.train.training import (
-            _batch_to_arrays, create_train_state)
-        import jax
-        import dataclasses
         src_model = load_meta(args.init_from).get("config", {}).get("model")
         if src_model is not None and src_model != dataclasses.asdict(cfg.model):
             logger.info("[init_from] WARNING: checkpoint model config differs "
                         "from the current one; params must still be "
                         "tree-compatible")
-        first = next(iter(make_epoch_batches(
-            train_ds, cfg.train.batch_size, cfg.train.bucket_sizes, False,
-            cfg.train.seed)))
-        sample = _batch_to_arrays(first, cfg.model.seqemb_dim)["inp"]
-        template = create_train_state(model, jax.random.PRNGKey(0), sample)
+        template = template_state()
         loaded = load_checkpoint(args.init_from, template)
         # params only: fresh optimizer moments, step 0, schedulers from cfg
         init_state = template.replace(params=loaded.params)

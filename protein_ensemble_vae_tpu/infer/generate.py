@@ -59,7 +59,7 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                        temperature: float = 1.0,
                        seq_decode: str = "argmax",
                        refine_steps: int = 0,
-                       refine_lr: float = 0.02,
+                       refine_lr: float = 0.05,
                        refine_anchor: float = 0.05,
                        verbose: bool = True) -> dict:
     os.makedirs(output_dir, exist_ok=True)

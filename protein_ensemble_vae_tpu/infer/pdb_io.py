@@ -103,8 +103,13 @@ def write_multi_model_pdb(coords_n: np.ndarray, coords_ca: np.ndarray,
                           output_path: str, sequence: Optional[str] = None,
                           pdb_id: Optional[str] = None, chain_id: str = "A",
                           title: Optional[str] = None) -> str:
-    """Write a [K, L, 3] backbone ensemble as a multi-MODEL PDB."""
+    """Write a [K, L, 3] backbone ensemble as a multi-MODEL PDB.
+
+    ``mask`` is [L] (shared) or [K, L] (per-model, for heterogeneous
+    ensembles where models resolve different residue subsets)."""
     K = coords_ca.shape[0]
+    mask = np.asarray(mask)
+    per_model_mask = mask.ndim == 2
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     with open(output_path, "w") as f:
         f.write(f"HEADER    PROTEIN ENSEMBLE{'':24s}"
@@ -116,12 +121,13 @@ def write_multi_model_pdb(coords_n: np.ndarray, coords_ca: np.ndarray,
             f.write(f"NUMMDL    {K}\n")
         last_serials = None
         for k in range(K):
+            m = mask[k] if per_model_mask else mask
             o = compute_backbone_oxygen(coords_n[k], coords_ca[k],
-                                        coords_c[k], mask)
+                                        coords_c[k], m)
             if K > 1:
                 f.write(f"MODEL     {k + 1:4d}\n")
             lines, _, serials = _model_body(coords_n[k], coords_ca[k],
-                                            coords_c[k], o, mask, sequence,
+                                            coords_c[k], o, m, sequence,
                                             chain_id)
             f.writelines(lines)
             last_serials = serials
@@ -200,12 +206,14 @@ def read_pdb_backbone(path: str) -> dict:
     L = idx + 1
     K = len(models)
     out = {a: np.zeros((K, L, 3), np.float32) for a in ("n", "ca", "c", "o")}
-    mask = np.zeros(L, np.float32)
+    mask = np.zeros(L, np.float32)            # union over models
+    model_mask = np.zeros((K, L), np.float32)  # per-model CA presence
     for k, m in enumerate(models):
         for r, atoms in m.items():
             i = index[r]
             if "CA" in atoms:
                 mask[i] = 1.0
+                model_mask[k, i] = 1.0
             for a_file, a_key in (("N", "n"), ("CA", "ca"), ("C", "c"), ("O", "o")):
                 if a_file in atoms:
                     out[a_key][k, i] = atoms[a_file]
@@ -214,4 +222,4 @@ def read_pdb_backbone(path: str) -> dict:
         seq[index[r]] = AA_3TO1.get(resnames.get(r, ""), "A")
     sequence = "".join(seq)
     return dict(n=out["n"], ca=out["ca"], c=out["c"], o=out["o"],
-                mask=mask, sequence=sequence)
+                mask=mask, model_mask=model_mask, sequence=sequence)

@@ -78,9 +78,18 @@ def coordination_barrier(name: str, timeout_s: float = 1200.0) -> None:
     here, and only then take the first real step. No-op single-process."""
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed
-    client = distributed.global_state.client
-    if client is None:   # initialized by other means; nothing to sync on
+    try:
+        from jax._src import distributed  # no public coordination-client API yet
+        client = distributed.global_state.client
+    except (ImportError, AttributeError):
+        client = None
+    if client is None:
+        # coordination client unavailable (other init path, or a JAX
+        # upgrade moved the private module): fall back to a device
+        # collective — weaker (it is itself subject to the rendezvous
+        # timeout) but still a barrier
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
         return
     client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
 
@@ -198,6 +207,7 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
 
     def wrapper(step_fn):
         jitted = {}
+        compiled = {}   # batch shape -> AOT Compiled (see compile_only)
 
         def call(state, batch, rng, klw_g, klw_l, lr, compile_only=False):
             if jax.process_count() > 1:
@@ -227,10 +237,18 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
                     in_shardings=(state_sh, batch_sh, repl, repl, repl, repl),
                     out_shardings=(state_sh, repl),
                 )
+            shp = batch["inp"]["ca"].shape if isinstance(batch, dict) \
+                and "inp" in batch else None
             if compile_only:
-                jitted[key].lower(state, batch, rng, klw_g, klw_l,
-                                  lr).compile()
+                # keep the Compiled and execute IT later — rerunning the
+                # jit would trace/lower/compile a second time per shape
+                # (jit's dispatch cache is separate from AOT lowering)
+                compiled[shp] = jitted[key].lower(
+                    state, batch, rng, klw_g, klw_l, lr).compile()
                 return None
+            exe = compiled.get(shp)
+            if exe is not None:
+                return exe(state, batch, rng, klw_g, klw_l, lr)
             return jitted[key](state, batch, rng, klw_g, klw_l, lr)
 
         return call

@@ -29,6 +29,36 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _run_workers(mh_dataset, outs, extra_argv=()):
+    """Spawn the 2-process worker pair; retry ONCE on the gloo-init
+    infra-timeout signature (XLA's hard-coded 30 s KV rendezvous window,
+    which unrelated background load on this 1-core host can blow). Returns
+    after asserting both workers exited 0."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)  # worker sets platform via jax.config
+
+    def spawn():
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(i), mh_dataset, outs[i],
+             *extra_argv],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=2400)
+            logs.append(out.decode(errors="replace"))
+        return procs, logs
+
+    procs, logs = spawn()
+    if any(p.returncode != 0 for p in procs) and any(
+            "Gloo context initialization failed" in lg for lg in logs):
+        procs, logs = spawn()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+
 @pytest.fixture(scope="module")
 def mh_dataset(tmp_path_factory):
     from protein_ensemble_vae_tpu.data.synthetic import make_synthetic_dataset
@@ -45,32 +75,8 @@ def test_two_process_dp8_matches_single_process(mh_dataset, tmp_path):
     from multihost_worker import (BATCH_PER_PROCESS, MODEL_KW, N_STEPS,
                                   per_process_batches)
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
-    env.pop("JAX_PLATFORMS", None)  # worker sets platform via jax.config
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
-
-    def spawn_workers():
-        port = _free_port()
-        procs = [subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(i), mh_dataset, outs[i]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-            for i in range(2)]
-        logs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=2400)
-            logs.append(out.decode(errors="replace"))
-        return procs, logs
-
-    procs, logs = spawn_workers()
-    if any(p.returncode != 0 for p in procs) and any(
-            "Gloo context initialization failed" in lg for lg in logs):
-        # XLA's gloo init has a hard-coded 30 s KV timeout; on this 1-core
-        # host an unrelated background load can skew the two workers past
-        # it. That is an infra timeout, not a sharding bug — retry once.
-        procs, logs = spawn_workers()
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    _run_workers(mh_dataset, outs)
 
     results = [json.load(open(o)) for o in outs]
     # both processes observe the same (replicated) global loss
@@ -119,30 +125,8 @@ def test_two_process_train_model_loop(mh_dataset, tmp_path):
     """The full --multihost training path (train_model + sharded batch
     factory + aligned-compile barrier) executes 2 epochs across 2 real
     processes with identical, finite epoch losses."""
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
-    env.pop("JAX_PLATFORMS", None)
     outs = [str(tmp_path / f"tm{i}.json") for i in range(2)]
-
-    def spawn():
-        port = _free_port()
-        procs = [subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(i), mh_dataset, outs[i],
-             "train_model"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-            for i in range(2)]
-        logs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=2400)
-            logs.append(out.decode(errors="replace"))
-        return procs, logs
-
-    procs, logs = spawn()
-    if any(p.returncode != 0 for p in procs) and any(
-            "Gloo context initialization failed" in lg for lg in logs):
-        procs, logs = spawn()
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    _run_workers(mh_dataset, outs, extra_argv=("train_model",))
 
     results = [json.load(open(o)) for o in outs]
     assert len(results[0]["losses"]) == 2

@@ -106,6 +106,41 @@ def test_refine_cli_roundtrip(broken_batch, tmp_path, capsys):
         assert ok, reason
 
 
+def test_refine_cli_heterogeneous_models(tmp_path, capsys):
+    """NMR-style ensembles resolve different residue subsets per model: a
+    residue absent from model k must not act as a (0,0,0) phantom atom that
+    drags model k's real neighbors toward the origin."""
+    from protein_ensemble_vae_tpu.cli.refine import main as refine_main
+    from protein_ensemble_vae_tpu.infer.pdb_io import (read_pdb_backbone,
+                                                       write_multi_model_pdb)
+
+    n, ca, c = compact_backbone(L_REAL, seed=11)
+    stretch = 1.4   # broken enough that refinement has real work to do
+    n, ca, c = n * stretch, ca * stretch, c * stretch
+    mask_k = np.ones((2, L_REAL), np.float32)
+    mask_k[1, -3:] = 0.0   # model 2 does not resolve the last 3 residues
+    src = str(tmp_path / "hetero.pdb")
+    out = str(tmp_path / "hetero_refined.pdb")
+    write_multi_model_pdb(np.stack([n, n]), np.stack([ca, ca]),
+                          np.stack([c, c]), mask_k, src)
+
+    refine_main(["--input", src, "--output", out, "--steps", "120"])
+    assert "after : gate 2/2" in capsys.readouterr().out
+
+    ens = read_pdb_backbone(out)
+    # model 2's unresolved tail stays unresolved (not written as atoms)
+    np.testing.assert_array_equal(ens["model_mask"][1, -3:], 0.0)
+    # and its real residues were refined sanely: spacing near 3.81, and
+    # close to model 1's refinement of the same (identical-input) residues
+    # — the phantom-atom bug dragged the boundary residues several A off
+    valid = ens["model_mask"][1] > 0.5
+    pts = ens["ca"][1][valid]
+    d = np.linalg.norm(np.diff(pts, axis=0), axis=-1)
+    assert abs(d.mean() - 3.81) < 0.3
+    cross = np.linalg.norm(ens["ca"][1][valid] - ens["ca"][0][valid], axis=-1)
+    assert cross.max() < 2.0
+
+
 def test_refine_noop_on_valid_geometry():
     """A gate-valid backbone must stay gate-valid and anchored. With the
     torsion terms off (pure covalent energy), a backbone with ideal bonds
