@@ -41,11 +41,20 @@ def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
     differentiable ``dihedrals_from_coords``) keep the relaxation from
     trading covalent fixes for backbone-dihedral damage."""
     n, ca, c = coords["n"], coords["ca"], coords["c"]
+    # clash follows the SAME kernel routing as the training loss: the
+    # blocked Pallas kernel keeps long-chain refinement O(L) in memory
+    # instead of a dense [B, 3L, 3L] matrix per Adam step
+    from protein_ensemble_vae_tpu.ops.routing import pallas_policy
+    if pallas_policy(mask.shape[1], "auto", B=mask.shape[0]):
+        from protein_ensemble_vae_tpu.ops.pallas.clash import clash_loss_pallas
+        clash = clash_loss_pallas(n, ca, c, mask)
+    else:
+        clash = L.clash_loss(n, ca, c, mask)
     e = (w_bond * L.bond_length_loss(n, ca, c, mask,
                                      delta_scale=bond_delta_scale)
          + w_spacing * L.ca_spacing_loss(ca, mask, delta=spacing_delta)
          + w_angle * L.bond_angle_loss(n, ca, c, mask)
-         + w_clash * L.clash_loss(n, ca, c, mask))
+         + w_clash * clash)
     if w_rama != 0.0 or w_omega != 0.0:
         dih = dihedrals_from_coords(n, ca, c, mask)
         e = (e + w_rama * L.ramachandran_loss(dih, mask)
