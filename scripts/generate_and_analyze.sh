@@ -3,17 +3,19 @@
 # Equivalent of the reference's generate_and_analyze.sh (L8).
 #
 # Usage: ./scripts/generate_and_analyze.sh <checkpoint_dir> <manifest_csv> [num_samples] [outdir]
+# Env: REFINE_STEPS (default 150; 0 disables the geometric refinement)
 set -euo pipefail
 
 CKPT=${1:?usage: generate_and_analyze.sh <checkpoint> <manifest> [n] [outdir]}
 MANIFEST=${2:?need manifest csv}
 NUM=${3:-10}
 OUTDIR=${4:-generated_ensembles}
+REFINE=${REFINE_STEPS:-150}
 
-echo "== 1/4 generate =="
+echo "== 1/4 generate (refine_steps=$REFINE) =="
 python -m protein_ensemble_vae_tpu.cli.generate \
   --checkpoint "$CKPT" --manifest "$MANIFEST" \
-  --output_dir "$OUTDIR" --num_samples "$NUM"
+  --output_dir "$OUTDIR" --num_samples "$NUM" --refine_steps "$REFINE"
 
 echo "== 2/4 analyze =="
 python -m protein_ensemble_vae_tpu.cli.analyze --pdb_dir "$OUTDIR"
