@@ -17,6 +17,17 @@ covalent geometry is restored. Analogous in spirit to AlphaFold's
 post-predict relax, built compiler-first: a single ``lax.scan`` over a
 static step count, jitted once per length bucket, batched over the whole
 ensemble — no per-sample host loop, no dynamic shapes.
+
+Default weights were tuned on 8 posterior samples from the annealed
+flagship checkpoint (150 steps, lr 0.05; RESULTS.md "Generation-time
+geometric refinement"): covalent-only (w_rama=w_omega=0) fixes bonds but
+lets favored torsions fall 50 % -> 26 % and over-packs the chain (clash
+5643 -> 7150); w_rama=w_omega=0.5 lifts favored to 85 % and zeroes the
+outliers; w_clash=5.0 brings clash back below the ground truth's own
+score (5444 vs ~6050) at unchanged gate/bond quality. Reproduce by
+re-running that sweep: decode K samples, call ``refine_backbone`` per
+weight setting, and score with eval.analyze.clash_score +
+eval.ramachandran + infer.gate.
 """
 
 from __future__ import annotations
