@@ -104,6 +104,35 @@ def test_dryrun_multichip_entry():
     ge.dryrun_multichip(8)
 
 
+def test_compile_only_then_execute_single_process():
+    """compile_only=True AOT-compiles without executing; the subsequent
+    real call reuses the stored Compiled and matches the plain step.
+    coordination_barrier is a no-op single-process."""
+    from protein_ensemble_vae_tpu.parallel import coordination_barrier
+
+    coordination_barrier("single-process-noop")  # must not block or raise
+
+    rng = np.random.default_rng(2)
+    model = HierCVAE(TINY)
+    batch = _batch(rng, 8, 16, TINY)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["inp"])
+    args = (jax.random.PRNGKey(5), jnp.float32(1.0), jnp.float32(0.5),
+            jnp.float32(1e-4))
+
+    step_single = make_train_step(model, LossWeights(), train=True)
+    _, m1 = step_single(state, batch, *args)
+
+    mesh = make_mesh(dp=8, tp=1)
+    step_par = make_train_step(model, LossWeights(), train=True,
+                               jit_wrapper=make_parallel_jit(mesh,
+                                                             use_tp=False))
+    sharded = shard_batch(batch, mesh)
+    assert step_par(state, sharded, *args, compile_only=True) is None
+    _, m2 = step_par(state, sharded, *args)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+
+
 def test_run_epoch_val_fallback_covers_partial_batches():
     """Under dp>1, an indivisible val batch runs through the plain-jit
     fallback instead of being dropped; stats cover every sample exactly."""
