@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--anchor", type=float, default=0.05,
                     help="pull toward the input coordinates (higher = "
                          "preserve more of the input conformation)")
+    ap.add_argument("--w_rama", type=float, default=0.5,
+                    help="Ramachandran-basin energy weight (0 = covalent-"
+                         "only relaxation, preserves input torsions)")
+    ap.add_argument("--w_omega", type=float, default=0.5,
+                    help="trans-omega energy weight")
+    ap.add_argument("--w_clash", type=float, default=5.0)
     return ap
 
 
@@ -68,7 +74,9 @@ def main(argv=None):
 
     report("before", n, ca, c)
     rn, rca, rc = refine_backbone(n, ca, c, mask_k, steps=args.steps,
-                                  lr=args.lr, anchor_weight=args.anchor)
+                                  lr=args.lr, anchor_weight=args.anchor,
+                                  w_rama=args.w_rama, w_omega=args.w_omega,
+                                  w_clash=args.w_clash)
     rn, rca, rc = np.asarray(rn), np.asarray(rca), np.asarray(rc)
     ok = report("after ", rn, rca, rc)
 
