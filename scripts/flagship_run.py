@@ -10,7 +10,11 @@ then generates an ensemble from the best checkpoint and runs the full
 analysis battery so gate pass-rate / Ramachandran favored % / clashscore
 become reportable against BASELINE.md targets.
 
-Usage: python scripts/flagship_run.py [data|train|gen|all]
+Usage: python scripts/flagship_run.py [data|train|gen|strict_ft|all]
+(`strict_ft` = fine-tune the completed annealed run under
+configs/strict_finetune.json and run the raw/refined generation battery
+into FLAGSHIP_STRICT_ROOT; it is not part of `all` since it needs the
+annealed checkpoint as its warm start.)
 Env: FLAGSHIP_ROOT (default runs/flagship), FLAGSHIP_EPOCHS (default 400),
      FLAGSHIP_WARMUP (default 120), FLAGSHIP_STRICT=1 (--strict_geometry:
      the beyond-reference bond/spacing losses targeting the generation
@@ -87,11 +91,54 @@ def generate_and_analyze():
         subprocess.run(args, check=True, env=ENV, cwd=REPO)
 
 
+def strict_ft():
+    """Strict-geometry fine-tune from the annealed best checkpoint, then the
+    raw/refined generation battery (the RESULTS.md "Strict-geometry
+    fine-tune" table rows for the strict checkpoint). Requires a completed
+    ``train`` stage under FLAGSHIP_ROOT; writes to FLAGSHIP_STRICT_ROOT
+    (default runs/flagship_strict_ft)."""
+    strict_root = os.environ.get(
+        "FLAGSHIP_STRICT_ROOT",
+        os.path.join(REPO, "runs", "flagship_strict_ft"))
+    train_csv = os.path.join(ROOT, "data", "manifest_train.csv")
+    val_csv = os.path.join(ROOT, "data", "manifest_val.csv")
+    cmd = [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.train",
+           "--manifest_train", train_csv, "--manifest_val", val_csv,
+           "--config", os.path.join(REPO, "configs", "strict_finetune.json"),
+           "--use_seqemb", "--compute_dtype", "bfloat16",
+           "--init_from", os.path.join(ROOT, "ckpt", "best"),
+           "--checkpoint_every", "0",
+           "--save", os.path.join(strict_root, "ckpt"),
+           "--log_jsonl", os.path.join(strict_root, "train_log.jsonl")]
+    print("[flagship]", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, env=ENV, cwd=REPO)
+    for tag, steps in (("raw", "0"),
+                       ("refined", os.environ.get("FLAGSHIP_REFINE", "150"))):
+        outdir = os.path.join(strict_root, f"generated_{tag}")
+        for args in (
+            [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.generate",
+             "--checkpoint", os.path.join(strict_root, "ckpt", "best"),
+             "--manifest", val_csv,
+             "--num_samples", "20", "--temperature", "0.7",
+             "--refine_steps", steps, "--output_dir", outdir],
+            [sys.executable, "-m", "protein_ensemble_vae_tpu.cli.analyze",
+             "--pdb_dir", outdir,
+             "--output", os.path.join(strict_root, f"analysis_{tag}.txt")],
+        ):
+            print("[flagship]", " ".join(args), flush=True)
+            subprocess.run(args, check=True, env=ENV, cwd=REPO)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode not in ("data", "train", "gen", "all", "strict_ft"):
+        raise SystemExit(f"unknown stage {mode!r} "
+                         "(data|train|gen|strict_ft|all)")
     if mode in ("data", "all"):
         build_data()
     if mode in ("train", "all"):
         train()
     if mode in ("gen", "all"):
         generate_and_analyze()
+    if mode == "strict_ft":
+        strict_ft()
