@@ -22,6 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num_samples", type=int, default=10)
     ap.add_argument("--max_structures", type=int, default=None)
     ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--latent_source", default="posterior",
+                    choices=["posterior", "prior"],
+                    help="posterior = z ~ q(z|x) per structure (reference "
+                         "generator behavior); prior = z ~ N(0, T^2 I) "
+                         "(HierCVAE.sample / reference model.py:77-103)")
     ap.add_argument("--seq_decode", default="argmax",
                     choices=["argmax", "sample", "threshold"],
                     help="sequence decode mode "
@@ -81,6 +86,7 @@ def main(argv=None):
                              max_structures=args.max_structures,
                              buckets=cfg.train.bucket_sizes,
                              temperature=args.temperature,
+                             latent_source=args.latent_source,
                              seq_decode=args.seq_decode,
                              refine_steps=args.refine_steps,
                              refine_lr=args.refine_lr,

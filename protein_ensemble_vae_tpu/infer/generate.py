@@ -57,11 +57,15 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                        max_structures: Optional[int] = None,
                        buckets=(64, 128, 192, 256, 320, 384, 448, 512, 576, 640),
                        temperature: float = 1.0,
+                       latent_source: str = "posterior",
                        seq_decode: str = "argmax",
                        refine_steps: int = 0,
                        refine_lr: float = 0.05,
                        refine_anchor: float = 0.05,
                        verbose: bool = True) -> dict:
+    if latent_source not in ("posterior", "prior"):
+        raise ValueError(f"latent_source must be 'posterior' or 'prior', "
+                         f"got {latent_source!r}")
     os.makedirs(output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(seed)
     results = []
@@ -115,12 +119,17 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                   sequence=pred_sequence, pdb_id=conf.protein_id,
                   title="RECONSTRUCTION")
 
-        # Posterior ensemble: one batched decode for all samples.
+        # Ensemble latents: one batched decode for all samples.
         kg, kl = jax.random.split(samp_rng)
         eps_g = jax.random.normal(kg, (num_samples,) + mu_g.shape[1:])
         eps_l = jax.random.normal(kl, (num_samples,) + mu_l.shape[1:])
-        zs_g = mu_g + temperature * eps_g * jnp.exp(0.5 * lv_g)
-        zs_l = mu_l + temperature * eps_l * jnp.exp(0.5 * lv_l)
+        if latent_source == "prior":
+            # z ~ N(0, T^2 I) — HierCVAE.sample semantics (ref model.py:77-103)
+            zs_g = temperature * eps_g
+            zs_l = temperature * eps_l
+        else:
+            zs_g = mu_g + temperature * eps_g * jnp.exp(0.5 * lv_g)
+            zs_l = mu_l + temperature * eps_l * jnp.exp(0.5 * lv_l)
         mask_rep = jnp.broadcast_to(mask_j, (num_samples, L_pad))
         ens_n, ens_ca, ens_c, _ = _decode_jit(model, variables, zs_g, zs_l,
                                               mask_rep)
