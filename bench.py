@@ -176,9 +176,13 @@ def bench_shape(B, L, steps, use_pallas="auto", remat=False,
         return _runs[n]
 
     n1 = max(steps // 5, 2)
+    t_compile = time.perf_counter()
     loss = float(make_run(n1)())                   # compile + finite check
+    compile_s = time.perf_counter() - t_compile
     assert np.isfinite(loss), f"bench loss not finite: {loss}"
-    dt = scan_step_time(make_run, n1=n1, n2=steps)
+    dt, timing = scan_step_time(make_run, n1=n1, n2=steps, return_detail=True)
+    timing["first_call_s"] = round(compile_s, 3)   # seconds => cache hit;
+    # minutes => fresh XLA compile (see compile_cache entry delta in "env")
 
     flops = model_flops_per_step(cfg, B, L)
 
@@ -187,6 +191,7 @@ def bench_shape(B, L, steps, use_pallas="auto", remat=False,
         pallas=pallas_policy(L, use_pallas, backend, B=B),
         samples_per_sec=round(B / dt, 3),
         ms_per_step=round(1e3 * dt, 3),
+        timing=timing,
     )
     if flops:
         tflops = flops / dt / 1e12
@@ -299,11 +304,93 @@ def _backend_init_watchdog(timeout_s: float = 240.0):
     return t
 
 
+def _cache_entry_count(cache_dir) -> int:
+    if not cache_dir:
+        return -1
+    try:
+        return sum(1 for n in os.listdir(cache_dir) if n.endswith("-cache"))
+    except OSError:
+        return -1
+
+
+def _env_fingerprint(jax, cache_dir) -> dict:
+    """Record exactly what produced these numbers (VERDICT r3 weak #3):
+    jax/jaxlib/libtpu versions, device kind, backend, compile-cache dir —
+    so a cross-round anomaly can be attributed to a stack change vs a
+    measurement fluke."""
+    import jaxlib
+
+    env = {
+        "jax": jax.__version__,
+        "jaxlib": getattr(jaxlib, "__version__", "?"),
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "n_devices": jax.device_count(),
+        "compile_cache_dir": cache_dir,
+    }
+    try:
+        import importlib.metadata as md
+        for dist in ("libtpu", "libtpu-nightly"):
+            try:
+                env["libtpu"] = md.version(dist)
+                break
+            except md.PackageNotFoundError:
+                pass
+    except Exception:
+        pass
+    return env
+
+
+def _previous_round_suite() -> tuple[str, list]:
+    """Latest committed BENCH_r{N}.json's parsed suite (driver format),
+    for the >20 % cross-round deviation check."""
+    import glob
+    import re
+
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return "", []
+    try:
+        parsed = json.load(open(best_path)).get("parsed") or {}
+        return os.path.basename(best_path), parsed.get("suite") or []
+    except Exception:
+        return os.path.basename(best_path), []
+
+
+def _deviation_warnings(suite: list) -> list:
+    """Compare each suite row against the same (B, L, dtype, remat) row of
+    the previous round's recorded JSON; flag >20 % samples/s deviations.
+    This check, applied at write time, would have caught the round-2
+    37.2 %-MFU outlier the moment it was recorded."""
+    src, prev = _previous_round_suite()
+    warnings = []
+    prev_by_key = {(r.get("B"), r.get("L"), r.get("dtype"), r.get("remat")): r
+                   for r in prev}
+    for row in suite:
+        key = (row["B"], row["L"], row["dtype"], row["remat"])
+        old = prev_by_key.get(key)
+        if not old or not old.get("samples_per_sec"):
+            continue
+        new_v, old_v = row["samples_per_sec"], old["samples_per_sec"]
+        rel = (new_v - old_v) / old_v
+        if abs(rel) > 0.20:
+            warnings.append(
+                f"B{key[0]}/L{key[1]}: {new_v:.1f} samples/s deviates "
+                f"{rel:+.0%} from {src} ({old_v:.1f}) — investigate before "
+                "citing either number")
+    return warnings
+
+
 def main():
     import jax
 
     from protein_ensemble_vae_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    cache_before = _cache_entry_count(cache_dir)
 
     watchdog = _backend_init_watchdog(
         float(os.environ.get("BENCH_INIT_TIMEOUT_S", "240")))
@@ -343,12 +430,20 @@ def main():
                 row["vs_baseline"] = round(row["samples_per_sec"] / rb, 3)
             suite.append(row)
 
+    env = _env_fingerprint(jax, cache_dir)
+    env["compile_cache_entries"] = {
+        "before": cache_before, "after": _cache_entry_count(cache_dir)}
+    # after == before -> every shape was a persistent-cache hit;
+    # new entries -> fresh compiles were persisted this run
+
     out = {
         "metric": "train_step_samples_per_sec",
         "value": headline["samples_per_sec"],
         "unit": "samples/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "suite": suite,
+        "env": env,
+        "deviation_warnings": _deviation_warnings(suite),
     }
     if "mfu" in headline:
         out["mfu"] = headline["mfu"]

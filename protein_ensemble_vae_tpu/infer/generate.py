@@ -131,8 +131,8 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
             zs_g = mu_g + temperature * eps_g * jnp.exp(0.5 * lv_g)
             zs_l = mu_l + temperature * eps_l * jnp.exp(0.5 * lv_l)
         mask_rep = jnp.broadcast_to(mask_j, (num_samples, L_pad))
-        ens_n, ens_ca, ens_c, _ = _decode_jit(model, variables, zs_g, zs_l,
-                                              mask_rep)
+        ens_n, ens_ca, ens_c, ens_seq = _decode_jit(model, variables, zs_g,
+                                                    zs_l, mask_rep)
         if refine_steps > 0:
             from protein_ensemble_vae_tpu.infer.refine import refine_backbone
             ens_n, ens_ca, ens_c = refine_backbone(
@@ -146,10 +146,22 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
             (keep if ok else reasons).append(s if ok else reason)
         kept = keep if keep else list(range(num_samples))  # fall back: keep all
 
+        # Ensemble SEQRES: posterior samples reconstruct the conditioning
+        # structure, so the reconstruction's sequence applies; unconditional
+        # (prior) samples carry their OWN decoded sequences (reference
+        # HierCVAE.sample returns per-sample seq_logits, model.py:77-103) —
+        # a multi-model PDB holds one SEQRES, so write the consensus
+        # (argmax of the kept samples' mean logits).
+        if latent_source == "prior":
+            cons = np.asarray(
+                jnp.argmax(jnp.mean(ens_seq[jnp.array(kept)], axis=0), -1))
+            ens_sequence = "".join(IDX_TO_AA[int(a)] for a in cons[:L])
+        else:
+            ens_sequence = pred_sequence
         write_multi_model_pdb(
             ens_n[kept][:, :L], ens_ca[kept][:, :L], ens_c[kept][:, :L],
             item["mask"], os.path.join(output_dir, f"{sid}_ensemble.pdb"),
-            sequence=pred_sequence, pdb_id=conf.protein_id,
+            sequence=ens_sequence, pdb_id=conf.protein_id,
             title=f"GENERATED ENSEMBLE ({len(kept)} MODELS)")
 
         if len(kept) > 1:

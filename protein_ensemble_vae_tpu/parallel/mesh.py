@@ -193,6 +193,10 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
     """jit wrapper for ``make_train_step``: batch sharded along dp, params
     replicated (dp) x TP-sharded (tp), scalars replicated.
 
+    The wrapper accepts ``donate_state`` from ``make_train_step`` (True for
+    training steps): the TrainState buffers are donated so params + Adam
+    moments update in place instead of transiently doubling in HBM.
+
     Returned wrapper matches the step signature
     ``step(state, batch, rng, klw_g, klw_l, lr)``; it additionally accepts
     ``compile_only=True`` to AOT-compile (lower + compile, no execution).
@@ -205,7 +209,7 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp"))
 
-    def wrapper(step_fn):
+    def wrapper(step_fn, donate_state: bool = False):
         jitted = {}
         compiled = {}   # batch shape -> AOT Compiled (see compile_only)
 
@@ -236,6 +240,7 @@ def make_parallel_jit(mesh: Mesh, use_tp: bool = True) -> Callable:
                     step_fn,
                     in_shardings=(state_sh, batch_sh, repl, repl, repl, repl),
                     out_shardings=(state_sh, repl),
+                    donate_argnums=(0,) if donate_state else (),
                 )
             shp = batch["inp"]["ca"].shape if isinstance(batch, dict) \
                 and "inp" in batch else None

@@ -33,7 +33,8 @@ def trace(logdir: str = "/tmp/jax-trace"):
 
 
 def scan_step_time(make_run: Callable[[int], Callable[[], object]],
-                   n1: int = 4, n2: int = 20, repeats: int = 3) -> float:
+                   n1: int = 4, n2: int = 20, repeats: int = 3,
+                   return_detail: bool = False):
     """Seconds per step, measured so a lying async-completion path cannot
     distort it.
 
@@ -44,11 +45,21 @@ def scan_step_time(make_run: Callable[[int], Callable[[], object]],
     only satisfy after really computing it; per-step time is the walltime
     difference between the two scan lengths, so the fetch round-trip and
     dispatch overhead cancel. Returns the min over ``repeats``.
+
+    With ``return_detail=True`` returns ``(best, detail)`` where detail
+    records every repeat's raw walltimes — benchmarks must persist these so
+    an outlier headline (a single anomalous min) is diagnosable post-hoc
+    instead of becoming an unexplainable record.
     """
     run1, run2 = make_run(n1), make_run(n2)
+    t0 = time.perf_counter()
     float(run1())            # compile + warm
+    warm1_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     float(run2())
+    warm2_s = time.perf_counter() - t0
     best = None
+    samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         float(run1())
@@ -56,8 +67,16 @@ def scan_step_time(make_run: Callable[[int], Callable[[], object]],
         float(run2())
         t2 = time.perf_counter()
         d = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+        samples.append({"t_n1_s": round(t1 - t0, 6),
+                        "t_n2_s": round(t2 - t1, 6),
+                        "per_step_ms": round(d * 1e3, 4)})
         best = d if best is None else min(best, d)
-    return best
+    if not return_detail:
+        return best
+    detail = {"method": "scan-diff", "n1": n1, "n2": n2,
+              "warmup_s": {"n1": round(warm1_s, 3), "n2": round(warm2_s, 3)},
+              "repeats": samples}
+    return best, detail
 
 
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 10,

@@ -77,6 +77,9 @@ def test_parallel_step_matches_single_device(dp, tp):
     batch = _batch(rng, B, L, TINY)
     state = create_train_state(model, jax.random.PRNGKey(0), batch["inp"])
 
+    # the train step donates its TrainState buffers; copy before the first
+    # call so the sharded step below can start from the same state
+    state_par = jax.tree.map(jnp.copy, state)
     step_single = make_train_step(model, LossWeights(), train=True)
     s1, m1 = step_single(state, batch, jax.random.PRNGKey(5),
                          jnp.float32(1.0), jnp.float32(0.5), jnp.float32(1e-4))
@@ -86,7 +89,7 @@ def test_parallel_step_matches_single_device(dp, tp):
         model, LossWeights(), train=True,
         jit_wrapper=make_parallel_jit(mesh, use_tp=tp > 1))
     sharded = shard_batch(batch, mesh)
-    s2, m2 = step_par(state, sharded, jax.random.PRNGKey(5),
+    s2, m2 = step_par(state_par, sharded, jax.random.PRNGKey(5),
                       jnp.float32(1.0), jnp.float32(0.5), jnp.float32(1e-4))
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
@@ -119,6 +122,7 @@ def test_compile_only_then_execute_single_process():
     args = (jax.random.PRNGKey(5), jnp.float32(1.0), jnp.float32(0.5),
             jnp.float32(1e-4))
 
+    state_par = jax.tree.map(jnp.copy, state)  # train step donates state
     step_single = make_train_step(model, LossWeights(), train=True)
     _, m1 = step_single(state, batch, *args)
 
@@ -127,8 +131,8 @@ def test_compile_only_then_execute_single_process():
                                jit_wrapper=make_parallel_jit(mesh,
                                                              use_tp=False))
     sharded = shard_batch(batch, mesh)
-    assert step_par(state, sharded, *args, compile_only=True) is None
-    _, m2 = step_par(state, sharded, *args)
+    assert step_par(state_par, sharded, *args, compile_only=True) is None
+    _, m2 = step_par(state_par, sharded, *args)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=2e-4)
 
