@@ -23,7 +23,9 @@ def main(argv=None):
     print(f"[analyze] {agg['n_structures']} structures | "
           f"diversity {agg['mean_diversity']:.3f}A | "
           f"rama favored {agg['mean_rama_favored']*100:.1f}% | "
-          f"clash {agg['mean_clash_score']:.1f} | report: {output}")
+          f"clash {agg['mean_clash_score']:.1f} | "
+          f"mp_clash {agg['mean_molprobity_clashscore']:.1f} | "
+          f"report: {output}")
 
 
 if __name__ == "__main__":

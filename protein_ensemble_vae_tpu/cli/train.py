@@ -197,6 +197,17 @@ def main(argv=None):
             resume=args.resume, compute_dtype=args.compute_dtype,
             dp=args.dp, tp=args.tp))
 
+    if args.tp > 1 and cfg.model.use_pallas_egnn is not False:
+        # The fused Pallas band kernel is a single-device custom call that
+        # GSPMD cannot partition over the tp axis; the XLA band path carries
+        # the decoder TP layout (parallel/mesh.py:_tp_spec_for). tp=1 runs
+        # (incl. pure-dp meshes) keep the Pallas fast path.
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                 use_pallas_egnn=False))
+        print("[mesh] tp>1: decoder routed to the XLA band path "
+              "(Pallas kernel is single-device)")
+
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     model = HierCVAE(cfg.model, dtype=dtype)
 

@@ -43,6 +43,92 @@ def clash_score(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
     return 1000.0 * n_clash / max(n_atoms, 1)
 
 
+# Probe/MolProbity van der Waals radii for the backbone atoms we decode
+# (Word et al. 1999, as used by MolProbity's clashscore): amide N 1.55,
+# aliphatic CA 1.70, carbonyl C 1.65, carbonyl O 1.40 A.
+_VDW_RADII = np.array([1.55, 1.70, 1.65, 1.40])   # N, CA, C, O
+_CLASH_OVERLAP = 0.4                               # "serious overlap", A
+
+
+def _backbone_bond_exclusions(L: int, max_bonds: int = 3) -> set:
+    """Pairs of backbone atoms <= ``max_bonds`` covalent bonds apart.
+
+    Atom index layout per residue i: 4i+0 = N, 4i+1 = CA, 4i+2 = C,
+    4i+3 = O; bonds are N-CA, CA-C, C-O and the peptide C(i)-N(i+1).
+    Probe excludes 1-2/1-3/1-4 interactions from clash counting; BFS to
+    depth 3 over this graph reproduces that exclusion set exactly.
+    """
+    adj = {}
+    for i in range(L):
+        b = 4 * i
+        bonds = [(b, b + 1), (b + 1, b + 2), (b + 2, b + 3)]
+        if i + 1 < L:
+            bonds.append((b + 2, b + 4))
+        for u, v in bonds:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    excluded = set()
+    for start in range(4 * L):
+        frontier = {start}
+        seen = {start}
+        for _ in range(max_bonds):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - seen
+            seen |= frontier
+            for w in frontier:
+                excluded.add((min(start, w), max(start, w)))
+    return excluded
+
+
+def molprobity_clashscore(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
+                          o: Optional[np.ndarray], mask: np.ndarray,
+                          overlap: float = _CLASH_OVERLAP) -> float:
+    """Backbone MolProbity-style clashscore: serious steric overlaps per
+    1000 atoms.
+
+    MolProbity's clashscore (its "<20" target in BASELINE.md) runs Probe
+    over an all-atom, hydrogen-added model and counts pairs whose van der
+    Waals overlap is >= 0.4 A, normalized per 1000 atoms. We decode only
+    the N/CA/C/O backbone, so this is the same *definition* restricted to
+    backbone atoms: clash = r_i + r_j - d >= 0.4 A with Probe's radii,
+    pairs <= 3 covalent bonds apart excluded (Probe's 1-2/1-3/1-4
+    exclusion), each clashing pair counted once, per 1000 counted atoms.
+    On well-formed experimental backbones this reads ~0; it is directly
+    comparable across our samples, the reference's samples and ground
+    truth, and is a lower bound on the all-atom score (hydrogens and
+    sidechains can only add contacts). Distinct from ``clash_score``
+    above, which reproduces the reference's own 3.2 A count-based metric
+    (analyze_ensemble.py:203-226) and is NOT MolProbity-comparable.
+    """
+    valid = mask > 0.5
+    parts = [n[valid], ca[valid], c[valid]]
+    radii = [_VDW_RADII[:3]]
+    if o is not None and np.any(np.abs(o) > 1e-8):
+        parts.append(o[valid])
+        radii.append(_VDW_RADII[3:])
+        order = np.stack(parts, axis=1).reshape(-1, 3)       # N,CA,C,O rows
+        r = np.tile(_VDW_RADII, valid.sum())
+        per_res = 4
+    else:
+        order = np.stack(parts, axis=1).reshape(-1, 3)
+        r = np.tile(_VDW_RADII[:3], valid.sum())
+        per_res = 3
+    n_atoms = len(order)
+    if n_atoms == 0:
+        return 0.0
+    d = np.linalg.norm(order[:, None] - order[None, :], axis=-1)
+    over = (r[:, None] + r[None, :]) - d
+    cand = np.argwhere(np.triu(over >= overlap, 1))
+    if per_res == 4:
+        excluded = _backbone_bond_exclusions(int(valid.sum()))
+    else:
+        # no O column: remap the 4-per-residue exclusion graph to 3
+        excluded = {(u - u // 4, v - v // 4)
+                    for u, v in _backbone_bond_exclusions(int(valid.sum()))
+                    if u % 4 != 3 and v % 4 != 3}
+    n_clash = sum(1 for u, v in cand if (int(u), int(v)) not in excluded)
+    return 1000.0 * n_clash / n_atoms
+
+
 def secondary_structure_content(phi: np.ndarray, psi: np.ndarray,
                                 valid: np.ndarray) -> dict:
     """Coarse SS assignment from phi/psi (reference analyze_ensemble.py:229-258)."""
@@ -85,13 +171,17 @@ def analyze_structure(ensemble_pdb: str, true_pdb: Optional[str] = None,
 
     diversity, rmsd_matrix = compute_ensemble_diversity(ens["ca"][:, valid])
 
-    rama_all, ss_all, clash_all, bonds_all = [], [], [], []
+    rama_all, ss_all, clash_all, bonds_all, mp_all = [], [], [], [], []
+    o_arr = ens.get("o")
     for k in range(K):
         phi, psi, v = phi_psi_from_backbone(ens["n"][k], ens["ca"][k],
                                             ens["c"][k], mask)
         rama_all.append(classify_ramachandran(phi, psi, v))
         ss_all.append(secondary_structure_content(phi, psi, v))
         clash_all.append(clash_score(ens["n"][k], ens["ca"][k], ens["c"][k], mask))
+        mp_all.append(molprobity_clashscore(
+            ens["n"][k], ens["ca"][k], ens["c"][k],
+            o_arr[k] if o_arr is not None else None, mask))
         bonds_all.append(bond_length_stats(ens["n"][k], ens["ca"][k],
                                            ens["c"][k], mask))
 
@@ -111,6 +201,7 @@ def analyze_structure(ensemble_pdb: str, true_pdb: Optional[str] = None,
                                  sheet=_avg(ss_all, "sheet"),
                                  coil=_avg(ss_all, "coil")),
         clash_score=float(np.mean(clash_all)),
+        molprobity_clashscore=float(np.mean(mp_all)),
         bond_stats={b: dict(mean_error=float(np.mean(
             [s[b]["mean_error"] for s in bonds_all])),
             violation_frac=float(np.mean(
@@ -198,7 +289,8 @@ def analyze_directory(pdb_dir: str, output_path: Optional[str] = None,
             print(f"[analyze] {os.path.basename(ep)}: "
                   f"K={r['n_models']} div={r['diversity']:.3f}A "
                   f"rama_fav={r['ramachandran']['favored']:.2f} "
-                  f"clash={r['clash_score']:.1f}")
+                  f"clash={r['clash_score']:.1f} "
+                  f"mp_clash={r['molprobity_clashscore']:.1f}")
 
     agg = dict(
         n_structures=len(results),
@@ -208,6 +300,8 @@ def analyze_directory(pdb_dir: str, output_path: Optional[str] = None,
         mean_rama_outlier=float(np.mean(
             [r["ramachandran"]["outlier"] for r in results])),
         mean_clash_score=float(np.mean([r["clash_score"] for r in results])),
+        mean_molprobity_clashscore=float(np.mean(
+            [r["molprobity_clashscore"] for r in results])),
     )
     recs = [r["reconstruction_rmsd"] for r in results
             if "reconstruction_rmsd" in r]
@@ -236,6 +330,9 @@ def analyze_directory(pdb_dir: str, output_path: Optional[str] = None,
                 f.write(f"  SS content: helix {ss['helix']*100:.1f}% "
                         f"sheet {ss['sheet']*100:.1f}% coil {ss['coil']*100:.1f}%\n")
                 f.write(f"  clash score: {r['clash_score']:.1f}\n")
+                f.write(f"  MolProbity-style backbone clashscore: "
+                        f"{r['molprobity_clashscore']:.1f} "
+                        f"(target <20)\n")
                 for b, st in r["bond_stats"].items():
                     f.write(f"  bond {b}: mean err {st['mean_error']:.4f} A, "
                             f"violations {st['violation_frac']*100:.1f}%\n")

@@ -257,3 +257,69 @@ def test_validation_report(tmp_path, rng):
     path = write_report(str(tmp_path / "report.txt"), pm, em)
     text = open(path).read()
     assert "TM-score" in text and "diversity" in text
+
+
+# ---------------------------------------------------------------------------
+# MolProbity-style backbone clashscore (BASELINE.md "<20" row; distinct from
+# the reference's 3.2 A count metric in analyze_ensemble.py:203-226)
+
+def _spaced_residues(L, spacing=10.0):
+    """L residues far apart, each with plausible internal N/CA/C/O geometry."""
+    base = np.arange(L)[:, None] * np.array([spacing, 0.0, 0.0])
+    n = base + np.array([0.0, 0.0, 0.0])
+    ca = base + np.array([1.46, 0.0, 0.0])
+    c = base + np.array([2.2, 1.3, 0.0])
+    o = base + np.array([2.2, 2.53, 0.0])
+    return n, ca, c, o
+
+
+def test_molprobity_clashscore_clean_helix_is_zero():
+    from protein_ensemble_vae_tpu.eval.analyze import molprobity_clashscore
+    from protein_ensemble_vae_tpu.infer.pdb_io import compute_backbone_oxygen
+
+    n, ca, c = helix_backbone(40)
+    mask = np.ones(40, np.float32)
+    o = compute_backbone_oxygen(n, ca, c, mask)
+    assert molprobity_clashscore(n, ca, c, o, mask) == 0.0
+    assert molprobity_clashscore(n, ca, c, None, mask) == 0.0
+
+
+def test_molprobity_clashscore_counts_coincident_residues():
+    from protein_ensemble_vae_tpu.eval.analyze import molprobity_clashscore
+
+    L = 12
+    n, ca, c, o = _spaced_residues(L)
+    mask = np.ones(L, np.float32)
+    assert molprobity_clashscore(n, ca, c, o, mask) == 0.0
+    # drop residue 9 onto residue 2 (far apart in bond graph -> no
+    # exclusions apply): of the 4x4 cross pairs, all overlap except the
+    # two N<->O pairs (d 3.35 A vs r_N+r_O = 2.95 -> overlap < 0.4)
+    for arr in (n, ca, c, o):
+        arr[9] = arr[2] + 0.05
+    expect = 1000.0 * 14 / (4 * L)
+    assert abs(molprobity_clashscore(n, ca, c, o, mask) - expect) < 1e-9
+
+
+def test_molprobity_clashscore_without_oxygen_remaps_exclusions():
+    from protein_ensemble_vae_tpu.eval.analyze import molprobity_clashscore
+
+    L = 12
+    n, ca, c, _ = _spaced_residues(L)
+    mask = np.ones(L, np.float32)
+    for arr in (n, ca, c):
+        arr[9] = arr[2] + 0.05
+    expect = 1000.0 * 9 / (3 * L)
+    assert abs(molprobity_clashscore(n, ca, c, None, mask) - expect) < 1e-9
+
+
+def test_molprobity_bonded_neighbors_not_counted():
+    from protein_ensemble_vae_tpu.eval.analyze import molprobity_clashscore
+
+    # two residues with ideal peptide geometry: C(0)-N(1) at 1.33 A is a
+    # massive vdW "overlap" but 1 bond apart -> excluded, score must be 0
+    n = np.array([[0.0, 0, 0], [3.8, 0, 0]])
+    ca = np.array([[1.46, 0, 0], [5.26, 0, 0]])
+    c = np.array([[2.47, 0, 0], [6.27, 0, 0]])
+    o = c + np.array([0.0, 1.23, 0.0])
+    mask = np.ones(2, np.float32)
+    assert molprobity_clashscore(n, ca, c, o, mask) == 0.0
