@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--step_ms_256", type=float, default=None,
                     help="measured TPU step ms at B4/L256 (from bench.py)")
     ap.add_argument("--step_ms_640", type=float, default=None)
+    ap.add_argument("--step_ms_b16", type=float, default=None,
+                    help="measured TPU step ms at B16/L256")
+    ap.add_argument("--step_ms_b32", type=float, default=None)
     ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
 
@@ -58,6 +61,12 @@ def main():
          (64, 128, 192, 256), args.step_ms_256),
         ("B2_L640", 6, 4, (576, 608, 640), 1280, 2,
          (512, 576, 640), args.step_ms_640),
+        # production regime (VERDICT r3 #8): B16+ needs 16/32 pairs per
+        # batch flowing through collate/prepad on the 1-core host
+        ("B16_L256", 24, 4, (200, 224, 256), 1280, 16,
+         (64, 128, 192, 256), args.step_ms_b16),
+        ("B32_L256", 32, 5, (200, 224, 256), 1280, 32,
+         (64, 128, 192, 256), args.step_ms_b32),
     ]
 
     for tag, n_prot, K, lengths, D, bs, buckets, step_ms in shapes:
