@@ -128,9 +128,16 @@ class EGNNBandLayer(nn.Module):
             # the MXU's fast default (matches the XLA path's precision).
             precision = (jax.lax.Precision.HIGHEST
                          if self.dtype == jnp.float32 else None)
+            # chain_dtype stays fp32 even for bf16 models: the r4 on-chip
+            # measurement (scripts/chain_dtype_onchip.py, B16/L256/Hd256)
+            # timed the bf16 edge chain at 0.74x the fp32 chain — Mosaic's
+            # 16-row bf16 sublane tiles force relayouts on the 8-aligned
+            # window loads and the accumulator casts add VPU passes,
+            # outweighing the raw bf16 elementwise rate advantage that
+            # scripts/vpu_dtype_bench.py measures on XLA-fused chains.
             agg, raw_delta = egnn_band_fused(
                 a_i, b_j, x, cmask, k_d2, k_e2, b_e2, k_x1, b_x1, k_x2,
-                b_x2, W, precision)
+                b_x2, W, precision, jnp.float32)
             agg = agg.astype(self.dtype)
         else:
             mask_k = nbr_valid.astype(self.dtype)[..., None]     # [B, L, K, 1]

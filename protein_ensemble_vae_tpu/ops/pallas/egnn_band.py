@@ -64,20 +64,35 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _sigmoid(x):
+    # NOT jax.nn.sigmoid: Mosaic's `logistic` lowering broadcasts an f32
+    # constant into the result vector, which fails verification for bf16
+    # operands ("vector.broadcast ... f32 -> vector<...xbf16>"). The
+    # explicit form with dtype-matched constants lowers cleanly for both
+    # dtypes and matches XLA's bf16 silu bit-for-bit (probe in r4 notes).
+    one = jnp.asarray(1.0, x.dtype)
+    return one / (one + jnp.exp(-x))
+
+
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    return x * _sigmoid(x)
 
 
 def _dsilu(x):
-    s = jax.nn.sigmoid(x)
-    return s * (1.0 + x * (1.0 - s))
+    one = jnp.asarray(1.0, x.dtype)
+    s = _sigmoid(x)
+    return s * (one + x * (one - s))
 
 
 
-def _mm(a, b, precision=None):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+def _mm(a, b, precision=None, out_dtype=jnp.float32):
+    # Mosaic requires a 32-bit matmul accumulator ("tpu.matmul acc must be
+    # 32-bit"), so the dot always emits fp32 and the result is cast to the
+    # chain dtype afterwards — one cheap VPU pass vs the chain's ~30.
+    out = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+    return out if out_dtype == jnp.float32 else out.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -91,7 +106,7 @@ def _win(ref, t0, n):
 
 def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
                 w_d_ref, w_e2_ref, b_e2_ref, w_x1_ref, b_x1_ref, w_x2_ref,
-                b_x2_ref, agg_ref, delta_ref, *, K, W, T, F, precision):
+                b_x2_ref, agg_ref, delta_ref, *, K, W, T, F, precision, cdt):
     t = pl.program_id(1)
     t0 = t * T
 
@@ -99,16 +114,20 @@ def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
         # fold F per-sample row blocks into one [F*T, ...] matmul operand
         return parts[0] if F == 1 else jnp.concatenate(parts, axis=0)
 
-    a = cat([a_ref[f, pl.ds(t0, T), :] for f in range(F)])      # [F*T, Hd]
+    # Refs stay fp32 (the sliding window loads need the fp32 8-row sublane
+    # granularity); the edge-MLP chain computes in `cdt` — bf16 runs the
+    # binding VPU term ~2.3x faster on v5e (scripts/vpu_dtype_bench.py).
+    # Coordinates (x/rel/d2/delta) and accumulators stay fp32 always.
+    a = cat([a_ref[f, pl.ds(t0, T), :] for f in range(F)]).astype(cdt)
     x_i = cat([x_ref[f, pl.ds(t0, T), :] for f in range(F)])    # [F*T, 3]
     cm_i = cat([cm_ref[f, pl.ds(t0, T), :] for f in range(F)])  # [F*T, 1]
-    w_d = w_d_ref[...][0]                              # [Hd]
+    w_d = w_d_ref[...][0]                              # [Hd], cdt
     w_e2 = w_e2_ref[...]
     b_e2 = b_e2_ref[...][0]
     w_x1 = w_x1_ref[...]
     b_x1 = b_x1_ref[...][0]
     w_x2 = w_x2_ref[...]                               # [Hd, 1]
-    b_x2 = b_x2_ref[...][0, 0]
+    b_x2 = b_x2_ref[...]        # [1,1]; Mosaic can't scalarize bf16
 
     # Band offsets processed in groups of 8: per group one aligned dynamic
     # window load (start provably 8-aligned), then a static 8-wide inner
@@ -126,25 +145,26 @@ def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
             k = g0 + r                                  # traced offset
             keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
             bs_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
-                        for w in wbs])
+                        for w in wbs]).astype(cdt)
             x_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
                        for w in wx])
             cm_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
                         for w in wcm])
-            valid = cm_i * cm_j * keep                  # [F*T, 1]
+            valid_f = cm_i * cm_j * keep                # [F*T, 1] fp32
+            valid = valid_f.astype(cdt)
 
             rel = x_i - x_j
             d2 = jnp.sum(rel * rel, axis=-1, keepdims=True)
-            pre = a + bs_j + d2 * w_d[None, :]
+            pre = a + bs_j + d2.astype(cdt) * w_d[None, :]
             m1 = _silu(pre)
-            u = _mm(m1, w_e2, precision) + b_e2[None, :]
+            u = _mm(m1, w_e2, precision, cdt) + b_e2[None, :]
             m = _silu(u)
-            acc_agg = acc_agg + m * valid
+            acc_agg = acc_agg + (m * valid).astype(jnp.float32)
 
-            v = _mm(m, w_x1, precision) + b_x1[None, :]
+            v = _mm(m, w_x1, precision, cdt) + b_x1[None, :]
             w1 = _silu(v)
-            wsc = _mm(w1, w_x2, precision) + b_x2       # [T, 1]
-            acc_delta = acc_delta + (wsc * valid) * rel
+            wsc = _mm(w1, w_x2, precision, cdt) + b_x2  # [T, 1]
+            acc_delta = acc_delta + (wsc * valid).astype(jnp.float32) * rel
         return acc_agg, acc_delta
 
     acc_agg, acc_delta = jax.lax.fori_loop(
@@ -161,42 +181,53 @@ def _fwd_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref, cm_pad_ref,
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _edge_chain_cotangents(a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2,
+def _edge_chain_cotangents(a, bs_j, x_i, x_j, valid_f, w_d, w_e2, b_e2,
                            w_x1, b_x1, w_x2, b_x2, g_agg, g_delta,
-                           precision=None):
+                           precision=None, cdt=jnp.float32):
     """Recompute the edge chain for one band offset and return all local
-    cotangents: (cot_pre [T,Hd], d_rel [T,3], weight-grad pieces)."""
+    cotangents: (cot_pre [T,Hd] in cdt, d_rel [T,3] fp32, weight grads fp32).
+
+    a/bs_j/g_agg and all weights arrive in `cdt`; x/rel/g_delta and the
+    returned coordinate/weight grads are fp32. Bias grads and w_d's grad
+    reduce over the tile rows in fp32 (a bf16 256-row reduction would lose
+    ~2 mantissa bits; the cast pass is ~2 el-ops vs the chain's ~30)."""
+    valid = valid_f.astype(cdt)
     rel = x_i - x_j
     d2 = jnp.sum(rel * rel, axis=-1, keepdims=True)
-    pre = a + bs_j + d2 * w_d[None, :]
+    pre = a + bs_j + d2.astype(cdt) * w_d[None, :]
     m1 = _silu(pre)
-    u = _mm(m1, w_e2, precision) + b_e2[None, :]
+    u = _mm(m1, w_e2, precision, cdt) + b_e2[None, :]
     m = _silu(u)
-    v = _mm(m, w_x1, precision) + b_x1[None, :]
+    v = _mm(m, w_x1, precision, cdt) + b_x1[None, :]
     w1 = _silu(v)
-    wsc = _mm(w1, w_x2, precision) + b_x2
+    wsc = _mm(w1, w_x2, precision, cdt) + b_x2
+    wsc_f = wsc.astype(jnp.float32)
 
     # cot wsc from delta path: g_delta . rel, masked
-    cot_wsc = jnp.sum(g_delta * rel, axis=-1, keepdims=True) * valid  # [T,1]
-    cot_w1 = _mm(cot_wsc, w_x2.T, precision)            # [T, Hd]
+    cot_wsc_f = (jnp.sum(g_delta * rel, axis=-1, keepdims=True)
+                 * valid_f)                             # [T,1] fp32
+    cot_wsc = cot_wsc_f.astype(cdt)
+    cot_w1 = _mm(cot_wsc, w_x2.T, precision, cdt)       # [T, Hd]
     cot_v = cot_w1 * _dsilu(v)
-    cot_m = g_agg * valid + _mm(cot_v, w_x1.T, precision)
+    cot_m = g_agg * valid + _mm(cot_v, w_x1.T, precision, cdt)
     cot_u = cot_m * _dsilu(u)
-    cot_m1 = _mm(cot_u, w_e2.T, precision)
+    cot_m1 = _mm(cot_u, w_e2.T, precision, cdt)
     cot_pre = cot_m1 * _dsilu(pre)
 
     # rel cotangent: from wsc*rel product and from d2
-    cot_d2 = jnp.sum(cot_pre * w_d[None, :], axis=-1, keepdims=True)
-    d_rel = g_delta * (wsc * valid) + 2.0 * rel * cot_d2
+    cot_d2 = jnp.sum((cot_pre * w_d[None, :]).astype(jnp.float32),
+                     axis=-1, keepdims=True)
+    d_rel = g_delta * (wsc_f * valid_f) + 2.0 * rel * cot_d2
 
     wg = dict(
         w_e2=_mm(m1.T, cot_u, precision),
-        b_e2=jnp.sum(cot_u, axis=0, keepdims=True),
+        b_e2=jnp.sum(cot_u.astype(jnp.float32), axis=0, keepdims=True),
         w_x1=_mm(m.T, cot_v, precision),
-        b_x1=jnp.sum(cot_v, axis=0, keepdims=True),
+        b_x1=jnp.sum(cot_v.astype(jnp.float32), axis=0, keepdims=True),
         w_x2=_mm(w1.T, cot_wsc, precision),
-        b_x2=jnp.sum(cot_wsc, axis=0, keepdims=True),
-        w_d=jnp.sum(cot_pre * d2, axis=0, keepdims=True),
+        b_x2=jnp.sum(cot_wsc_f, axis=0, keepdims=True),
+        w_d=jnp.sum(cot_pre.astype(jnp.float32) * d2, axis=0,
+                    keepdims=True),
     )
     return cot_pre, d_rel, wg
 
@@ -206,7 +237,7 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
                        b_x1_ref, w_x2_ref, b_x2_ref, g_agg_ref, g_delta_ref,
                        da_ref, dxr_ref, dbs_pad_ref, dxs_pad_ref, dwd_ref,
                        dwe2_ref, dbe2_ref, dwx1_ref, dbx1_ref, dwx2_ref,
-                       dbx2_ref, *, K, W, T, L, F, precision):
+                       dbx2_ref, *, K, W, T, L, F, precision, cdt):
     """Single-pass backward: one receiver-centric sweep emits BOTH sides.
 
     The old design ran a second, sender-centric kernel that recomputed the
@@ -240,14 +271,15 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
     w_x1 = w_x1_ref[...]
     b_x1 = b_x1_ref[...][0]
     w_x2 = w_x2_ref[...]
-    b_x2 = b_x2_ref[...][0, 0]
+    b_x2 = b_x2_ref[...]        # [1,1]; Mosaic can't scalarize bf16
 
     def tile_body(t, wg_carry):
         t0 = pl.multiple_of(t * T, 8)
-        a = cat([a_ref[f, pl.ds(t0, T), :] for f in range(F)])
+        a = cat([a_ref[f, pl.ds(t0, T), :] for f in range(F)]).astype(cdt)
         x_i = cat([x_ref[f, pl.ds(t0, T), :] for f in range(F)])
         cm_i = cat([cm_ref[f, pl.ds(t0, T), :] for f in range(F)])
-        g_agg = cat([g_agg_ref[f, pl.ds(t0, T), :] for f in range(F)])
+        g_agg = cat([g_agg_ref[f, pl.ds(t0, T), :]
+                     for f in range(F)]).astype(cdt)
         g_delta = cat([g_delta_ref[f, pl.ds(t0, T), :] for f in range(F)])
 
         def group(k8, carry):
@@ -266,15 +298,16 @@ def _bwd_merged_kernel(a_ref, bs_pad_ref, x_ref, x_pad_ref, cm_ref,
                 k = g0 + r
                 keep = jnp.where((k != W) & (k < K), 1.0, 0.0)
                 bs_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
-                            for w in wbs])
+                            for w in wbs]).astype(cdt)
                 x_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
                            for w in wx])
                 cm_j = cat([jax.lax.slice_in_dim(w, r, r + T, axis=0)
                             for w in wcm])
-                valid = cm_i * cm_j * keep
+                valid_f = cm_i * cm_j * keep
                 cot_pre, d_rel, wg = _edge_chain_cotangents(
-                    a, bs_j, x_i, x_j, valid, w_d, w_e2, b_e2, w_x1, b_x1,
-                    w_x2, b_x2, g_agg, g_delta, precision)
+                    a, bs_j, x_i, x_j, valid_f, w_d, w_e2, b_e2, w_x1, b_x1,
+                    w_x2, b_x2, g_agg, g_delta, precision, cdt)
+                cot_pre = cot_pre.astype(jnp.float32)
                 da = da + cot_pre
                 dx = dx + d_rel
                 pad = ((r, 8 - r), (0, 0))
@@ -353,19 +386,24 @@ def _batch_spec(shape, F=1):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def egnn_band_fused(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2,
-                    b_x2, W: int, precision=None):
+                    b_x2, W: int, precision=None, chain_dtype=jnp.float32):
     """Fused band message passing.
 
     a, bs: [B, L, Hd] receiver/sender first-layer projections
     x: [B, L, 3]; cmask: [B, L] compacted validity
     w_d [1, Hd], w_e2 [Hd, Hd], b_e2 [Hd], w_x1 [Hd, Hd], b_x1 [Hd],
     w_x2 [Hd, 1], b_x2 [1]
-    Returns (agg [B, L, Hd], raw_delta [B, L, 3]).
+    chain_dtype: compute dtype of the edge-MLP chain (activations, silu,
+    cotangent chain). bf16 matches the XLA band path's numerics at model
+    dtype bf16 and runs the binding VPU term ~2.3x faster on v5e;
+    coordinates, aggregation accumulators, and weight-grad reductions stay
+    fp32 regardless.
+    Returns (agg [B, L, Hd], raw_delta [B, L, 3]), both fp32.
     """
     out, _ = _fused_fwd(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1,
-                        w_x2, b_x2, W, precision)
+                        w_x2, b_x2, W, precision, chain_dtype)
     return out
 
 
@@ -381,27 +419,32 @@ def _prep(a, bs, x, cmask, W):
         a=a.astype(jnp.float32), B=B, L=L, Hd=Hd)
 
 
-def _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2):
-    return (w_d.reshape(1, -1).astype(jnp.float32),
-            w_e2.astype(jnp.float32),
-            b_e2.reshape(1, -1).astype(jnp.float32),
-            w_x1.astype(jnp.float32),
-            b_x1.reshape(1, -1).astype(jnp.float32),
-            w_x2.reshape(-1, 1).astype(jnp.float32),
-            b_x2.reshape(1, 1).astype(jnp.float32))
+def _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2,
+                 cdt=jnp.float32):
+    # Chain weights travel in the chain dtype (tiny tensors, full-block
+    # VMEM specs, no sliding windows — bf16 layout is unconstrained here).
+    return (w_d.reshape(1, -1).astype(cdt),
+            w_e2.astype(cdt),
+            b_e2.reshape(1, -1).astype(cdt),
+            w_x1.astype(cdt),
+            b_x1.reshape(1, -1).astype(cdt),
+            w_x2.reshape(-1, 1).astype(cdt),
+            b_x2.reshape(1, 1).astype(cdt))
 
 
-def _fused_fwd(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, W, precision=None):
+def _fused_fwd(a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, W,
+               precision=None, chain_dtype=jnp.float32):
+    cdt = jnp.dtype(chain_dtype)
     p = _prep(a, bs, x, cmask, W)
     B, L, Hd = p["B"], p["L"], p["Hd"]
     K = 2 * W + 1
     Lp = L + 2 * W + 8
     T = _tile(L)
     F = _fold(B, L)
-    params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2)
+    params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, cdt)
 
     kern = functools.partial(_fwd_kernel, K=K, W=W, T=T, F=F,
-                             precision=precision)
+                             precision=precision, cdt=cdt)
     agg, delta = pl.pallas_call(
         kern,
         grid=(B // F, L // T),
@@ -432,7 +475,8 @@ def _batch_spec1(shape, F=1):
                         memory_space=pltpu.VMEM)
 
 
-def _fused_bwd(W, precision, res, cots):
+def _fused_bwd(W, precision, chain_dtype, res, cots):
+    cdt = jnp.dtype(chain_dtype)
     a, bs, x, cmask, w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2 = res
     g_agg, g_delta = cots
     p = _prep(a, bs, x, cmask, W)
@@ -441,12 +485,12 @@ def _fused_bwd(W, precision, res, cots):
     Lp = L + 2 * W + 8
     T = _tile(L)
     F = _fold(B, L)
-    params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2)
+    params = _param_tuple(w_d, w_e2, b_e2, w_x1, b_x1, w_x2, b_x2, cdt)
     g_agg = g_agg.astype(jnp.float32)
     g_delta = g_delta.astype(jnp.float32)
 
     kern = functools.partial(_bwd_merged_kernel, K=K, W=W, T=T, L=L, F=F,
-                             precision=precision)
+                             precision=precision, cdt=cdt)
     fs = _full_specs([(1, Hd), (Hd, Hd), (1, Hd), (Hd, Hd), (1, Hd),
                       (Hd, 1), (1, 1)])
     (da, dx_r, dbs_pad, dxs_pad, dwd, dwe2, dbe2, dwx1, dbx1, dwx2,

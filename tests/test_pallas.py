@@ -187,6 +187,37 @@ def test_egnn_layer_pallas_path_matches_xla(rng):
                                atol=1e-5)
 
 
+def test_egnn_fused_bf16_chain(rng):
+    """chain_dtype=bf16 (the production setting for bf16 models — the VPU
+    gap-closer from the r4 roofline) must track the fp32 chain within bf16
+    rounding, return fp32 outputs, and keep grads finite and close."""
+    a, bs, x, cmask, p = _egnn_inputs(rng)
+    W = 4
+    args = (a, bs, x, cmask, p["w_d"], p["w_e2"], p["b_e2"], p["w_x1"],
+            p["b_x1"], p["w_x2"], p["b_x2"], W, None)
+    agg32, d32 = egnn_band_fused(*args, jnp.float32)
+    agg16, d16 = egnn_band_fused(*args, jnp.bfloat16)
+    assert agg16.dtype == jnp.float32 and d16.dtype == jnp.float32
+    scale_a = float(jnp.max(jnp.abs(agg32)))
+    scale_d = float(jnp.max(jnp.abs(d32)))
+    assert float(jnp.max(jnp.abs(agg16 - agg32))) < 0.03 * scale_a
+    assert float(jnp.max(jnp.abs(d16 - d32))) < 0.03 * scale_d
+
+    def loss(cdt, *diff):
+        agg, delta = egnn_band_fused(*diff[:3], cmask, *diff[3:], W, None,
+                                     cdt)
+        return jnp.sum(agg ** 2) + jnp.sum(delta ** 2)
+
+    diff = (a, bs, x, p["w_d"], p["w_e2"], p["b_e2"], p["w_x1"], p["b_x1"],
+            p["w_x2"], p["b_x2"])
+    g32 = jax.grad(lambda *d: loss(jnp.float32, *d), range(10))(*diff)
+    g16 = jax.grad(lambda *d: loss(jnp.bfloat16, *d), range(10))(*diff)
+    for k, r in zip(g16, g32):
+        assert bool(jnp.all(jnp.isfinite(k)))
+        denom = float(jnp.max(jnp.abs(r))) + 1e-6
+        assert float(jnp.max(jnp.abs(k - r))) < 0.05 * denom
+
+
 def test_egnn_fold_sample_isolation(rng):
     """Cross-batch folding (F=2 at L=64) must not mix samples: the folded
     even-batch result equals per-sample (B=1, unfolded) runs stacked."""
