@@ -72,6 +72,160 @@ def compact_backbone(L: int, seed: int = 0
     return (n.astype(np.float32), ca.astype(np.float32), c.astype(np.float32))
 
 
+def _nerf_place(a: np.ndarray, b: np.ndarray, c: np.ndarray, bond: float,
+                angle_deg: float, torsion_rad: float) -> np.ndarray:
+    """Place atom D from internal coordinates: |CD| = bond, angle(B,C,D) =
+    angle_deg, dihedral(A,B,C,D) = torsion_rad (natural-extension reference
+    frame; sign convention validated against ops.geometry.dihedrals_from_coords
+    in tests/test_synthetic_nerf.py)."""
+    ang = np.radians(angle_deg)
+    bc = c - b
+    bc = bc / (np.linalg.norm(bc) + 1e-12)
+    nrm = np.cross(b - a, bc)
+    nrm = nrm / (np.linalg.norm(nrm) + 1e-12)
+    m = np.cross(nrm, bc)
+    d_local = np.array([-bond * np.cos(ang),
+                        bond * np.sin(ang) * np.cos(torsion_rad),
+                        bond * np.sin(ang) * np.sin(torsion_rad)])
+    return c + d_local[0] * bc + d_local[1] * m + d_local[2] * nrm
+
+
+def torsion_backbone(phi: np.ndarray, psi: np.ndarray,
+                     omega: Optional[np.ndarray] = None
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build an ideal-covalent-geometry N/CA/C backbone from torsions.
+
+    Uses the exact bond lengths / angles the loss battery targets
+    (config.BOND_* / ANGLE_*; reference losses.py:318-408), trans peptide
+    omega = pi unless given, so the built chain scores ~zero on every
+    covalent-geometry metric by construction. phi[0] is unused (undefined
+    at the N-terminus), psi[L-1] only orients the final C.
+    """
+    from protein_ensemble_vae_tpu.config import (ANGLE_C_N_CA_DEG,
+                                                 ANGLE_CA_C_N_DEG,
+                                                 ANGLE_N_CA_C_DEG, BOND_C_N,
+                                                 BOND_CA_C, BOND_N_CA)
+    L = len(phi)
+    if omega is None:
+        omega = np.full(L, np.pi)
+    n = np.zeros((L, 3))
+    ca = np.zeros((L, 3))
+    c = np.zeros((L, 3))
+    n[0] = (0.0, 0.0, 0.0)
+    ca[0] = (BOND_N_CA, 0.0, 0.0)
+    ang0 = np.radians(ANGLE_N_CA_C_DEG)
+    c[0] = ca[0] + BOND_CA_C * np.array([-np.cos(ang0), np.sin(ang0), 0.0])
+    for i in range(L - 1):
+        n[i + 1] = _nerf_place(n[i], ca[i], c[i], BOND_C_N,
+                               ANGLE_CA_C_N_DEG, psi[i])
+        ca[i + 1] = _nerf_place(ca[i], c[i], n[i + 1], BOND_N_CA,
+                                ANGLE_C_N_CA_DEG, omega[i])
+        c[i + 1] = _nerf_place(c[i], n[i + 1], ca[i + 1], BOND_CA_C,
+                               ANGLE_N_CA_C_DEG, phi[i + 1])
+    return (n.astype(np.float32), ca.astype(np.float32), c.astype(np.float32))
+
+
+# Favored-basin centers (deg) inside the reference's rectangular regions
+# (eval/ramachandran.py boxes <- analyze_ensemble.py:176-190): alpha helix
+# and the beta strand used for connecting loops.
+_ALPHA = (-63.0, -43.0)
+_BETA = (-120.0, 140.0)
+
+
+def _sample_fold_torsions(L: int, rng: np.random.Generator
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Helix/loop segment layout with per-residue jitter; returns
+    (phi, psi) in radians plus the per-residue loop flag (for noising)."""
+    phi = np.empty(L)
+    psi = np.empty(L)
+    is_loop = np.zeros(L, bool)
+    i, helix = 0, True
+    while i < L:
+        seg = int(rng.integers(10, 18)) if helix else int(rng.integers(3, 6))
+        seg = min(seg, L - i)
+        (ph0, ps0), jit = (_ALPHA, 3.0) if helix else (_BETA, 8.0)
+        phi[i:i + seg] = ph0 + rng.normal(0, jit, seg)
+        psi[i:i + seg] = ps0 + rng.normal(0, jit, seg)
+        is_loop[i:i + seg] = not helix
+        i += seg
+        helix = not helix
+    return np.radians(phi), np.radians(psi), is_loop
+
+
+def _min_nonlocal_dist(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
+                       min_sep: int = 2) -> float:
+    """Minimum distance between backbone atoms >= min_sep residues apart."""
+    L = ca.shape[0]
+    atoms = np.stack([n, ca, c], axis=1).reshape(-1, 3)
+    res = np.repeat(np.arange(L), 3)
+    d = np.linalg.norm(atoms[:, None] - atoms[None, :], axis=-1)
+    far = np.abs(res[:, None] - res[None, :]) >= min_sep
+    return float(d[far].min()) if far.any() else np.inf
+
+
+def nerf_ensemble(L: int, K: int, seed: int = 0, scale: float = 1.0,
+                  clash_floor: float = 3.05, max_tries: int = 64
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """K torsion-built conformers of one physically valid fold, each [L,3]x3.
+
+    The base fold is rejection-sampled to be free of steric overlap
+    (every backbone atom pair >= 2 residues apart further than
+    ``clash_floor`` = 3.05 A — above the worst-case MolProbity clash
+    threshold for backbone atoms, 1.70 + 1.70 - 0.4); conformers add
+    favored-basin torsion noise (helix sd 1.5 deg, loop sd 5 deg, x scale)
+    and are re-sampled under the same no-clash rule, then Kabsch-aligned
+    onto the base. Ground truth built this way passes every BASELINE.md
+    post-fix target (exact bonds/angles, trans omega, ~100 % favored,
+    ~0 MolProbity-style clashscore), unlike the ``compact`` decorated
+    random walk — so generation-quality metrics trained/evaluated on it
+    measure the model, not the fixture.
+    """
+    rng = np.random.default_rng(seed)
+    base = None
+    best_rg = np.inf
+    for _ in range(max_tries):
+        phi, psi, is_loop = _sample_fold_torsions(L, rng)
+        n0, ca0, c0 = torsion_backbone(phi, psi)
+        if _min_nonlocal_dist(n0, ca0, c0) <= clash_floor:
+            continue
+        rg = float(np.sqrt(((ca0 - ca0.mean(0)) ** 2).sum(-1).mean()))
+        if rg < best_rg:
+            base = (phi, psi, is_loop, n0, ca0, c0)
+            best_rg = rg
+    if base is None:
+        raise RuntimeError(f"no clash-free fold found in {max_tries} tries "
+                           f"(L={L}, seed={seed})")
+    phi, psi, is_loop, n0, ca0, c0 = base
+    sd = np.where(is_loop, 5.0, 1.5) * scale * np.pi / 180.0
+
+    coords = []
+    for k in range(K):
+        if k == 0:
+            coords.append((n0, ca0, c0))
+            continue
+        for _ in range(max_tries):
+            dphi = rng.normal(0, sd)
+            dpsi = rng.normal(0, sd)
+            nk, cak, ck = torsion_backbone(phi + dphi, psi + dpsi)
+            if _min_nonlocal_dist(nk, cak, ck) > clash_floor:
+                break
+        else:
+            raise RuntimeError("no clash-free conformer; lower `scale`")
+        # one rigid CA-fit Kabsch transform applied to all three atom sets
+        mu_m, mu_t = cak.mean(0), ca0.mean(0)
+        H = (cak - mu_m).T @ (ca0 - mu_t)
+        U, _, Vt = np.linalg.svd(H)
+        if np.linalg.det(Vt.T @ U.T) < 0:
+            Vt = Vt.copy()
+            Vt[-1, :] *= -1
+        R = Vt.T @ U.T
+        coords.append(tuple((x - mu_m) @ R.T + mu_t for x in (nk, cak, ck)))
+    n = np.stack([x[0] for x in coords]).astype(np.float32)
+    ca = np.stack([x[1] for x in coords]).astype(np.float32)
+    c = np.stack([x[2] for x in coords]).astype(np.float32)
+    return n, ca, c
+
+
 def _torsions_np(n, ca, c, mask):
     """Host-side torsion computation (numpy port of ops.geometry)."""
     import jax.numpy as jnp
@@ -88,14 +242,13 @@ def write_synthetic_h5(path: str, K: int = 5, L: int = 64, seed: int = 0,
                        mask_holes: Sequence[int] = (),
                        fold: str = "helix") -> str:
     """Write one synthetic protein ensemble H5 with the reference schema.
-    fold: "helix" (extended rod) or "compact" (globular-like Rg)."""
+    fold: "helix" (extended rod), "compact" (globular-like Rg, heuristic
+    N/C placement) or "nerf" (torsion-built, physically valid covalent
+    geometry — the fold that makes BASELINE.md's post-fix generation
+    targets honestly scoreable; `noise` rescales the torsion jitter)."""
     import h5py
 
     rng = np.random.default_rng(seed)
-    if fold == "compact":
-        n0, ca0, c0 = compact_backbone(L, seed=seed)
-    else:
-        n0, ca0, c0 = helix_backbone(L)
     mask = np.ones(L, np.float32)
     for h in mask_holes:
         mask[h] = 0.0
@@ -106,11 +259,20 @@ def write_synthetic_h5(path: str, K: int = 5, L: int = 64, seed: int = 0,
     phi = np.zeros((K, L, 2), np.float32)
     psi = np.zeros((K, L, 2), np.float32)
     omega = np.zeros((K, L, 2), np.float32)
+    if fold == "nerf":
+        coords_n, coords_ca, coords_c = nerf_ensemble(
+            L, K, seed=seed, scale=noise / 0.3)
+    else:
+        if fold == "compact":
+            n0, ca0, c0 = compact_backbone(L, seed=seed)
+        else:
+            n0, ca0, c0 = helix_backbone(L)
+        for k in range(K):
+            d = rng.normal(0, noise, (L, 3)).astype(np.float32)
+            coords_n[k] = n0 + d
+            coords_ca[k] = ca0 + d
+            coords_c[k] = c0 + d
     for k in range(K):
-        d = rng.normal(0, noise, (L, 3)).astype(np.float32)
-        coords_n[k] = n0 + d
-        coords_ca[k] = ca0 + d
-        coords_c[k] = c0 + d
         dih = _torsions_np(coords_n[k], coords_ca[k], coords_c[k], mask)
         phi[k] = dih[:, 0:2]
         psi[k] = dih[:, 2:4]

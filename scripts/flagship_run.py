@@ -16,7 +16,11 @@ configs/strict_finetune.json and run the raw/refined generation battery
 into FLAGSHIP_STRICT_ROOT; it is not part of `all` since it needs the
 annealed checkpoint as its warm start.)
 Env: FLAGSHIP_ROOT (default runs/flagship), FLAGSHIP_EPOCHS (default 400),
-     FLAGSHIP_WARMUP (default 120), FLAGSHIP_STRICT=1 (--strict_geometry:
+     FLAGSHIP_WARMUP (default 120), FLAGSHIP_FOLD (compact|nerf|helix;
+     "nerf" = torsion-built physically valid folds on which BASELINE.md's
+     post-fix generation targets are honestly scoreable),
+     FLAGSHIP_NOISE (conformer noise; for nerf, torsion-jitter scale*0.3),
+     FLAGSHIP_STRICT=1 (--strict_geometry:
      the beyond-reference bond/spacing losses targeting the generation
      gate both parity configurations fail — use a separate FLAGSHIP_ROOT
      to keep the parity run's artifacts).
@@ -48,10 +52,15 @@ ENV.pop("JAX_PLATFORMS", None)  # children pick the axon chip normally
 
 def build_data():
     from protein_ensemble_vae_tpu.data.synthetic import make_synthetic_dataset
+    fold = os.environ.get("FLAGSHIP_FOLD", "compact")
+    # nerf folds take torsion jitter, not A of coordinate noise; 0.105
+    # (scale 0.35) gives NMR-like ~1.6-2.2 A ensemble diversity
+    noise = float(os.environ.get("FLAGSHIP_NOISE",
+                                 "0.105" if fold == "nerf" else "0.3"))
     train_csv, val_csv = make_synthetic_dataset(
         os.path.join(ROOT, "data"), n_proteins=7, K=5, lengths=(128, 192),
-        seqemb_dim=1280, seed=0, fold="compact", noise=0.3)
-    print(f"[flagship] data at {ROOT}/data")
+        seqemb_dim=1280, seed=0, fold=fold, noise=noise)
+    print(f"[flagship] data at {ROOT}/data (fold={fold}, noise={noise})")
     return train_csv, val_csv
 
 
