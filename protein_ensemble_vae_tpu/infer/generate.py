@@ -62,6 +62,7 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                        refine_steps: int = 0,
                        refine_lr: float = 0.05,
                        refine_anchor: float = 0.05,
+                       refine_w_rama: float = 0.5,
                        verbose: bool = True) -> dict:
     if latent_source not in ("posterior", "prior"):
         raise ValueError(f"latent_source must be 'posterior' or 'prior', "
@@ -137,7 +138,8 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
             from protein_ensemble_vae_tpu.infer.refine import refine_backbone
             ens_n, ens_ca, ens_c = refine_backbone(
                 ens_n, ens_ca, ens_c, mask_rep, steps=refine_steps,
-                lr=refine_lr, anchor_weight=refine_anchor)
+                lr=refine_lr, anchor_weight=refine_anchor,
+                w_rama=refine_w_rama, w_omega=refine_w_rama)
         ens_n, ens_ca, ens_c = (np.asarray(a) for a in (ens_n, ens_ca, ens_c))
 
         keep, reasons = [], []
