@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "batches by numpy gathers (same batches, no "
                          "per-epoch Python pad loops); 0: pad per batch")
     ap.add_argument("--early_stopping_patience", type=int, default=20)
+    ap.add_argument("--plateau_patience", type=int, default=10,
+                    help="ReduceLROnPlateau patience in epochs (reference "
+                         "default 10, training.py:213-215; raise for long "
+                         "KL warmups where val rec shifts with the "
+                         "annealing objective and the default decays the "
+                         "LR to min before the anneal completes)")
     ap.add_argument("--early_stopping_metric", type=str, default="rec",
                     choices=["rec", "loss", "rmsd"])
     ap.add_argument("--early_stopping_delta", type=float, default=1e-4)
@@ -191,6 +197,7 @@ def main(argv=None):
             kl_cycles=args.kl_cycles, kl_ratio=args.kl_ratio,
             kl_warmup_epochs=args.kl_warmup_epochs,
             early_stopping_patience=args.early_stopping_patience,
+            plateau_patience=args.plateau_patience,
             early_stopping_metric=args.early_stopping_metric,
             early_stopping_delta=args.early_stopping_delta,
             save_path=args.save, checkpoint_every=args.checkpoint_every,
