@@ -76,6 +76,8 @@ def train():
            "--checkpoint_every", "50",
            "--save", os.path.join(ROOT, "ckpt"),
            "--log_jsonl", os.path.join(ROOT, "train_log.jsonl")]
+    if os.environ.get("FLAGSHIP_PLATEAU"):
+        cmd += ["--plateau_patience", os.environ["FLAGSHIP_PLATEAU"]]
     if os.environ.get("FLAGSHIP_STRICT") == "1":
         cmd.append("--strict_geometry")
     print("[flagship]", " ".join(cmd), flush=True)

@@ -105,6 +105,11 @@ def main():
                                                   "refine_sweep.json"))
     ap.add_argument("--quick", action="store_true",
                     help="3-setting sanity sweep instead of the full grid")
+    ap.add_argument("--grid", default="rama", choices=["rama", "clash"],
+                    help="'rama' sweeps w_rama/anchor/steps at w_clash=5 "
+                         "(the round-3 favored-%% axis); 'clash' holds the "
+                         "rama winner (w=2.0, anchor=0.03) and sweeps "
+                         "w_clash x steps toward the MolProbity <20 target")
     args = ap.parse_args()
 
     from protein_ensemble_vae_tpu.infer.refine import refine_backbone
@@ -113,12 +118,17 @@ def main():
     print(f"[sweep] {len(ensembles)} ensembles from {args.pdb_dir}",
           flush=True)
 
-    # (w_rama=w_omega, anchor, steps, lr); round-3 default = (0.5,.05,150,.05)
+    # (w_rama=w_omega, anchor, steps, lr, w_clash);
+    # round-3 default = (0.5, .05, 150, .05, 5.0)
     if args.quick:
-        grid = [(0.5, 0.05, 150, 0.05), (1.0, 0.05, 150, 0.05),
-                (1.0, 0.03, 300, 0.05)]
+        grid = [(0.5, 0.05, 150, 0.05, 5.0), (1.0, 0.05, 150, 0.05, 5.0),
+                (1.0, 0.03, 300, 0.05, 5.0)]
+    elif args.grid == "clash":
+        grid = [(2.0, 0.03, s, 0.05, wc)
+                for wc, s in itertools.product((5.0, 25.0, 100.0, 400.0),
+                                               (300, 600))]
     else:
-        grid = [(w, a, s, 0.05)
+        grid = [(w, a, s, 0.05, 5.0)
                 for w, a, s in itertools.product((0.5, 1.0, 2.0),
                                                  (0.05, 0.03, 0.015),
                                                  (150, 300))]
@@ -130,7 +140,7 @@ def main():
     raw_agg = _mean_rows(raw_scores)
     print(f"[sweep] raw: {json.dumps(raw_agg)}", flush=True)
 
-    for w, anchor, steps, lr in grid:
+    for w, anchor, steps, lr, w_clash in grid:
         per = []
         for name, ens in ensembles:
             mask = ens["mask"]
@@ -138,14 +148,15 @@ def main():
             mk = np.broadcast_to(mask[None], (K, mask.shape[0])).copy()
             rn, rca, rc = refine_backbone(
                 ens["n"], ens["ca"], ens["c"], mk, steps=steps, lr=lr,
-                anchor_weight=anchor, w_rama=w, w_omega=w)
+                anchor_weight=anchor, w_rama=w, w_omega=w, w_clash=w_clash)
             per.append(score(np.asarray(rn), np.asarray(rca),
                              np.asarray(rc), mask))
         agg = _mean_rows(per)
-        agg.update(w_rama=w, anchor=anchor, steps=steps, lr=lr)
+        agg.update(w_rama=w, anchor=anchor, steps=steps, lr=lr,
+                   w_clash=w_clash)
         agg["targets_pass"] = _targets_pass(agg)
         rows.append(agg)
-        print(f"[sweep] w={w} anchor={anchor} steps={steps}: "
+        print(f"[sweep] w={w} anchor={anchor} steps={steps} wc={w_clash}: "
               f"fav={agg['favored']:.3f} out={agg['outlier']:.3f} "
               f"mp={agg['mp_clash']:.1f} gate={agg['gate']:.2f} "
               f"div={agg['diversity']:.3f} "
