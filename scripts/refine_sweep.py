@@ -105,11 +105,15 @@ def main():
                                                   "refine_sweep.json"))
     ap.add_argument("--quick", action="store_true",
                     help="3-setting sanity sweep instead of the full grid")
-    ap.add_argument("--grid", default="rama", choices=["rama", "clash"],
+    ap.add_argument("--grid", default="rama",
+                    choices=["rama", "clash", "strict"],
                     help="'rama' sweeps w_rama/anchor/steps at w_clash=5 "
                          "(the round-3 favored-%% axis); 'clash' holds the "
                          "rama winner (w=2.0, anchor=0.03) and sweeps "
-                         "w_clash x steps toward the MolProbity <20 target")
+                         "w_clash x steps toward the MolProbity <20 target; "
+                         "'strict' is the hard-relaxation preset (long "
+                         "anneals, low anchor, raised angle/clash weights) "
+                         "aiming to pass EVERY post-fix row at once")
     args = ap.parse_args()
 
     from protein_ensemble_vae_tpu.infer.refine import refine_backbone
@@ -118,17 +122,22 @@ def main():
     print(f"[sweep] {len(ensembles)} ensembles from {args.pdb_dir}",
           flush=True)
 
-    # (w_rama=w_omega, anchor, steps, lr, w_clash);
-    # round-3 default = (0.5, .05, 150, .05, 5.0)
+    # (w_rama=w_omega, anchor, steps, lr, w_clash, w_angle);
+    # round-3 default = (0.5, .05, 150, .05, 5.0, 0.5)
     if args.quick:
-        grid = [(0.5, 0.05, 150, 0.05, 5.0), (1.0, 0.05, 150, 0.05, 5.0),
-                (1.0, 0.03, 300, 0.05, 5.0)]
+        grid = [(0.5, 0.05, 150, 0.05, 5.0, 0.5),
+                (1.0, 0.05, 150, 0.05, 5.0, 0.5),
+                (1.0, 0.03, 300, 0.05, 5.0, 0.5)]
     elif args.grid == "clash":
-        grid = [(2.0, 0.03, s, 0.05, wc)
+        grid = [(2.0, 0.03, s, 0.05, wc, 0.5)
                 for wc, s in itertools.product((5.0, 25.0, 100.0, 400.0),
                                                (300, 600))]
+    elif args.grid == "strict":
+        grid = [(2.0, a, s, 0.05, wc, wa)
+                for a, s, wc, wa in itertools.product(
+                    (0.01, 0.003), (600, 1200), (100.0, 400.0), (2.0, 8.0))]
     else:
-        grid = [(w, a, s, 0.05, 5.0)
+        grid = [(w, a, s, 0.05, 5.0, 0.5)
                 for w, a, s in itertools.product((0.5, 1.0, 2.0),
                                                  (0.05, 0.03, 0.015),
                                                  (150, 300))]
@@ -140,7 +149,7 @@ def main():
     raw_agg = _mean_rows(raw_scores)
     print(f"[sweep] raw: {json.dumps(raw_agg)}", flush=True)
 
-    for w, anchor, steps, lr, w_clash in grid:
+    for w, anchor, steps, lr, w_clash, w_angle in grid:
         per = []
         for name, ens in ensembles:
             mask = ens["mask"]
@@ -148,15 +157,17 @@ def main():
             mk = np.broadcast_to(mask[None], (K, mask.shape[0])).copy()
             rn, rca, rc = refine_backbone(
                 ens["n"], ens["ca"], ens["c"], mk, steps=steps, lr=lr,
-                anchor_weight=anchor, w_rama=w, w_omega=w, w_clash=w_clash)
+                anchor_weight=anchor, w_rama=w, w_omega=w, w_clash=w_clash,
+                w_angle=w_angle)
             per.append(score(np.asarray(rn), np.asarray(rca),
                              np.asarray(rc), mask))
         agg = _mean_rows(per)
         agg.update(w_rama=w, anchor=anchor, steps=steps, lr=lr,
-                   w_clash=w_clash)
+                   w_clash=w_clash, w_angle=w_angle)
         agg["targets_pass"] = _targets_pass(agg)
         rows.append(agg)
-        print(f"[sweep] w={w} anchor={anchor} steps={steps} wc={w_clash}: "
+        print(f"[sweep] w={w} anchor={anchor} steps={steps} wc={w_clash} "
+              f"wa={w_angle}: "
               f"fav={agg['favored']:.3f} out={agg['outlier']:.3f} "
               f"mp={agg['mp_clash']:.1f} gate={agg['gate']:.2f} "
               f"div={agg['diversity']:.3f} "
@@ -179,7 +190,8 @@ def _targets_pass(agg):
     """All BASELINE.md post-fix rows that are scoreable on backbones."""
     return bool(agg["favored"] >= 0.85 and agg["outlier"] < 0.05
                 and agg["mp_clash"] < 20.0 and agg["angle_err_deg"] <= 5.0
-                and agg["gate"] >= 0.99)
+                and agg["gate"] >= 0.99
+                and all(v <= 0.005 for v in agg["bond_err"].values()))
 
 
 def _mean_rows(per):
