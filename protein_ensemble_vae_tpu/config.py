@@ -81,6 +81,11 @@ class LossWeights:
     # checks.
     bond_delta: float = 1.0          # multiplier on the reference huber deltas
     w_ca_spacing: float = 0.0        # virtual CA(i)-CA(i+1) ~ 3.81 A bond
+    # vdW-overlap clash surrogate matched to the MolProbity clashscore event
+    # (losses.vdw_clash_loss) — the training-side fix for the objective/
+    # metric mismatch (flat 3.2 A loss vs Probe-overlap score, VERDICT r4
+    # weak #7). 0.0 = exact reference parity.
+    w_clash_vdw: float = 0.0
 
     @classmethod
     def from_dict(cls, d: dict) -> "LossWeights":

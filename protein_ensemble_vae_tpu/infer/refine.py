@@ -44,7 +44,7 @@ from protein_ensemble_vae_tpu.ops.geometry import dihedrals_from_coords
 
 def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
             bond_delta_scale, w_spacing, spacing_delta, w_angle, w_clash,
-            w_rama, w_omega):
+            w_rama, w_omega, w_clash_vdw):
     """Local-geometry energy + soft anchor. All terms reuse the (masked,
     bounded-gradient) training losses, with deltas raised into their
     quadratic region so ~Å-scale violations produce proportional forces.
@@ -66,6 +66,11 @@ def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
          + w_spacing * L.ca_spacing_loss(ca, mask, delta=spacing_delta)
          + w_angle * L.bond_angle_loss(n, ca, c, mask)
          + w_clash * clash)
+    if w_clash_vdw != 0.0:
+        # surrogate of the exact MolProbity counting event (vdW overlap
+        # >= 0.4 A, 1-2/1-3/1-4 excluded) — the flat 3.2 A term above
+        # misses the adjacent-residue 1-5 pairs the scorer counts
+        e = e + w_clash_vdw * L.vdw_clash_loss(n, ca, c, mask)
     if w_rama != 0.0 or w_omega != 0.0:
         dih = dihedrals_from_coords(n, ca, c, mask)
         e = (e + w_rama * L.ramachandran_loss(dih, mask)
@@ -80,13 +85,13 @@ def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
 @functools.partial(jax.jit, static_argnames=(
     "steps", "lr", "anchor_weight", "w_bond", "bond_delta_scale",
     "w_spacing", "spacing_delta", "w_angle", "w_clash", "w_rama",
-    "w_omega"))
+    "w_omega", "w_clash_vdw"))
 def refine_backbone(n, ca, c, mask, *, steps: int = 150, lr: float = 0.05,
                     anchor_weight: float = 0.05, w_bond: float = 1.0,
                     bond_delta_scale: float = 50.0, w_spacing: float = 1.0,
                     spacing_delta: float = 3.0, w_angle: float = 0.5,
                     w_clash: float = 5.0, w_rama: float = 0.5,
-                    w_omega: float = 0.5):
+                    w_omega: float = 0.5, w_clash_vdw: float = 0.0):
     """Relax backbone coordinates toward valid local geometry.
 
     Args:
@@ -111,7 +116,8 @@ def refine_backbone(n, ca, c, mask, *, steps: int = 150, lr: float = 0.05,
         _energy, ref=coords0, mask=maskf, anchor_weight=anchor_weight,
         w_bond=w_bond, bond_delta_scale=bond_delta_scale,
         w_spacing=w_spacing, spacing_delta=spacing_delta, w_angle=w_angle,
-        w_clash=w_clash, w_rama=w_rama, w_omega=w_omega)
+        w_clash=w_clash, w_rama=w_rama, w_omega=w_omega,
+        w_clash_vdw=w_clash_vdw)
     grad_fn = jax.grad(energy)
 
     tx = optax.adam(lr)

@@ -303,6 +303,65 @@ def clash_loss(pred_n: Array, pred_ca: Array, pred_c: Array, mask: Array,
     return jnp.mean(total / (num_pairs + 1e-8))
 
 
+# Probe/MolProbity van der Waals radii for the decoded backbone atoms
+# (Word et al. 1999): amide N 1.55, aliphatic CA 1.70, carbonyl C 1.65 Å.
+# Must match eval.analyze._VDW_RADII so the loss optimizes the same event
+# the metric counts.
+_VDW_N_CA_C = (1.55, 1.70, 1.65)
+
+
+def vdw_clash_loss(pred_n: Array, pred_ca: Array, pred_c: Array, mask: Array,
+                   count_overlap: float = 0.4, buffer: float = 0.1) -> Array:
+    """Differentiable surrogate of the MolProbity backbone clashscore.
+
+    Beyond-reference term (off by default, ``LossWeights.w_clash_vdw``).
+    The reference's ``clash_loss`` (losses.py:439-517) penalizes d < 3.2 Å
+    uniformly for pairs ≥ 2 residues apart — a DIFFERENT event from the
+    MolProbity clashscore the BASELINE "<20" target counts (van der Waals
+    overlap ≥ 0.4 Å with Probe radii, 1-2/1-3/1-4 bonded pairs excluded);
+    VERDICT r4 weak #7. This term penalizes exactly the scored event:
+
+      penalty_ij = relu((r_i + r_j − count_overlap + buffer) − d_ij)²
+
+    over the same pair set as ``eval.analyze.molprobity_clashscore``. With
+    the backbone bond graph N−CA, CA−C, C(i)−N(i+1), the >3-bond pair set
+    is: all pairs ≥ 2 residues apart, plus the adjacent-residue pairs whose
+    earlier-residue atom type precedes the later-residue atom type in
+    (N, CA, C) order — i.e. N(i)·CA(i+1) (4 bonds), CA(i)·C(i+1) (4),
+    N(i)·C(i+1) (5); verified against the scorer's BFS exclusions in
+    tests/test_losses.py. ``buffer`` pushes pairs a margin PAST the 0.4 Å
+    counting threshold so a converged loss leaves no borderline clashes.
+    Normalization mirrors ``clash_loss`` (per-sample pair-count mean).
+    """
+    B, L = pred_ca.shape[:2]
+    atoms = jnp.stack([pred_n, pred_ca, pred_c], axis=2).reshape(B, L * 3, 3)
+    atom_mask = jnp.repeat(mask, 3, axis=1)                      # [B, 3L]
+
+    dists = pairwise_distances(atoms, atoms)                     # [B, 3L, 3L]
+
+    idx = jnp.arange(L * 3)
+    res_idx, atom_t = idx // 3, idx % 3
+    sep = jnp.abs(res_idx[:, None] - res_idx[None, :])
+    # adjacent-residue pairs >3 covalent bonds apart: earlier residue's
+    # atom type strictly precedes the later residue's atom type
+    earlier_t = jnp.where(res_idx[:, None] <= res_idx[None, :],
+                          atom_t[:, None], atom_t[None, :])
+    later_t = jnp.where(res_idx[:, None] <= res_idx[None, :],
+                        atom_t[None, :], atom_t[:, None])
+    adj_counted = (sep == 1) & (earlier_t < later_t)
+    counted = ((sep >= 2) | adj_counted).astype(pred_ca.dtype)
+    triu = jnp.triu(jnp.ones((L * 3, L * 3), dtype=pred_ca.dtype), k=1)
+    pair_mask = (atom_mask[:, :, None] * atom_mask[:, None, :]
+                 * counted[None] * triu[None])
+
+    radii = jnp.tile(jnp.asarray(_VDW_N_CA_C, dtype=pred_ca.dtype), L)
+    thresh = radii[:, None] + radii[None, :] - count_overlap + buffer
+    violation = jax.nn.relu(thresh - dists)
+    total = jnp.sum(jnp.square(violation) * pair_mask, axis=(1, 2))
+    num_pairs = jnp.sum(pair_mask, axis=(1, 2))
+    return jnp.mean(total / (num_pairs + 1e-8))
+
+
 # ---------------------------------------------------------------------------
 # Orchestrator
 # ---------------------------------------------------------------------------
@@ -375,6 +434,14 @@ def compute_total_loss(pred_n: Array, pred_ca: Array, pred_c: Array,
         loss_ca_spacing = ca_spacing_loss(pred_ca, mask)
         total = total + weights.w_ca_spacing * loss_ca_spacing
         extra["ca_spacing"] = loss_ca_spacing
+
+    # Beyond-reference MolProbity-event clash surrogate (opt-in; 0.0 =
+    # parity) — trains against the same vdW-overlap event the BASELINE
+    # "<20" clashscore counts, which the flat 3.2 Å term does not.
+    if weights.w_clash_vdw:
+        loss_clash_vdw = vdw_clash_loss(pred_n, pred_ca, pred_c, mask)
+        total = total + weights.w_clash_vdw * loss_clash_vdw
+        extra["clash_vdw"] = loss_clash_vdw
 
     return {
         **extra,

@@ -292,3 +292,102 @@ def test_total_loss_ca_spacing_opt_in(rng):
     strict = total(LossWeights(w_ca_spacing=100.0))
     assert "ca_spacing" in strict
     assert float(strict["total"]) >= float(base["total"])
+
+
+def test_vdw_clash_pair_set_matches_scorer():
+    """The loss's counted pair set must equal the MolProbity scorer's
+    complement of its BFS 1-2/1-3/1-4 exclusions (3-atom backbone remap) —
+    otherwise the loss optimizes a different event than the metric counts."""
+    from protein_ensemble_vae_tpu.eval.analyze import _backbone_bond_exclusions
+
+    Lr = 6
+    # scorer side: 4-per-residue BFS exclusions remapped to N/CA/C rows
+    excluded = {(u - u // 4, v - v // 4)
+                for u, v in _backbone_bond_exclusions(Lr)
+                if u % 4 != 3 and v % 4 != 3}
+    scorer_counted = {(i, j) for i in range(3 * Lr) for j in range(3 * Lr)
+                      if i < j and (i, j) not in excluded}
+
+    # loss side: replicate the mask construction
+    idx = np.arange(Lr * 3)
+    res_idx, atom_t = idx // 3, idx % 3
+    sep = np.abs(res_idx[:, None] - res_idx[None, :])
+    earlier_t = np.where(res_idx[:, None] <= res_idx[None, :],
+                         atom_t[:, None], atom_t[None, :])
+    later_t = np.where(res_idx[:, None] <= res_idx[None, :],
+                       atom_t[None, :], atom_t[:, None])
+    counted = (sep >= 2) | ((sep == 1) & (earlier_t < later_t))
+    loss_counted = {(i, j) for i in range(3 * Lr) for j in range(3 * Lr)
+                    if i < j and counted[i, j]}
+    assert loss_counted == scorer_counted
+
+
+def test_vdw_clash_loss_zero_iff_clashscore_zero(rng):
+    from protein_ensemble_vae_tpu.data.synthetic import nerf_ensemble
+    from protein_ensemble_vae_tpu.eval.analyze import molprobity_clashscore
+
+    # physically valid torsion-built chain: scorer reads 0, loss ~0
+    n, ca, c = nerf_ensemble(32, 1, seed=0)
+    mask = np.ones((1, 32), np.float32)
+    mp = molprobity_clashscore(n[0], ca[0], c[0], None, mask[0])
+    assert mp == 0.0
+    lv = float(L.vdw_clash_loss(jnp.asarray(n), jnp.asarray(ca),
+                                jnp.asarray(c), jnp.asarray(mask)))
+    assert lv < 1e-6
+
+    # tangled random coil: scorer fires, loss positive, grads finite
+    b = _batch(rng, B=1, L_=24, holes=False)
+    mp_bad = molprobity_clashscore(b["n"][0], b["ca"][0], b["c"][0], None,
+                                   b["mask"][0])
+    lv_bad = float(L.vdw_clash_loss(*(jnp.asarray(b[k]) for k in
+                                      ("n", "ca", "c", "mask"))))
+    assert mp_bad > 0 and lv_bad > 0
+    g = jax.grad(lambda x: L.vdw_clash_loss(
+        x, jnp.asarray(b["ca"]), jnp.asarray(b["c"]),
+        jnp.asarray(b["mask"])))(jnp.asarray(b["n"]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_vdw_clash_minimization_clears_clashscore(rng):
+    """Gradient descent on the surrogate must drive the REAL MolProbity
+    count to zero — the end-to-end property the refiner relies on."""
+    import optax
+    from protein_ensemble_vae_tpu.eval.analyze import molprobity_clashscore
+
+    b = _batch(rng, B=1, L_=16, holes=False)
+    coords = {k: jnp.asarray(b[k]) for k in ("n", "ca", "c")}
+    mask = jnp.asarray(b["mask"])
+    assert molprobity_clashscore(b["n"][0], b["ca"][0], b["c"][0], None,
+                                 b["mask"][0]) > 0
+
+    tx = optax.adam(0.05)
+    opt = tx.init(coords)
+    loss_fn = lambda cs: L.vdw_clash_loss(cs["n"], cs["ca"], cs["c"], mask)
+    step = jax.jit(lambda cs, op: (lambda g: (lambda u, o:
+                   (optax.apply_updates(cs, u), o))(*tx.update(g, op, cs)))(
+                   jax.grad(loss_fn)(cs)))
+    for _ in range(300):
+        coords, opt = step(coords, opt)
+    out = {k: np.asarray(v[0]) for k, v in coords.items()}
+    assert molprobity_clashscore(out["n"], out["ca"], out["c"], None,
+                                 b["mask"][0]) == 0.0
+
+
+def test_total_loss_vdw_clash_opt_in(rng):
+    b = _batch(rng)
+    n, ca, c, mask = (jnp.asarray(b[k]) for k in ("n", "ca", "c", "mask"))
+    dih = dihedrals_from_coords(n, ca, c, mask)
+
+    def total(weights):
+        return L.compute_total_loss(
+            n, ca, c, jnp.asarray(b["logits"]), n, ca, c,
+            jnp.asarray(b["labels"]), mask, jnp.asarray(b["mu"]),
+            jnp.asarray(b["lv"]), jnp.asarray(b["mu_l"]),
+            jnp.asarray(b["lv_l"]), dih, klw_g=jnp.float32(1.0),
+            klw_l=jnp.float32(0.5), weights=weights, use_pallas=False)
+
+    base = total(LossWeights())
+    assert "clash_vdw" not in base  # parity: key absent when off
+    on = total(LossWeights(w_clash_vdw=50.0))
+    assert "clash_vdw" in on
+    assert float(on["total"]) > float(base["total"])
