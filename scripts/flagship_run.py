@@ -37,7 +37,16 @@ import sys
 # train/generate SUBPROCESSES block forever waiting for the chip. Pin the
 # parent to CPU before any jax-importing module loads; the children get a
 # cleaned env with the chip path restored.
+#
+# The env var alone no longer suffices: the axon sitecustomize's register()
+# force-selects the axon platform at interpreter startup, overriding
+# JAX_PLATFORMS from the environment. Pinning must therefore go through
+# jax.config (which wins over the plugin's selection as long as the backend
+# is uninitialized) — same pattern as tests/conftest.py.
 os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402  (must precede any jax-importing module)
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

@@ -29,7 +29,11 @@ Usage:
         (the reference generator's procedure, generate_ensemble_pdbs.py:548-570)
         and run the SAME gate + geometry/Ramachandran/clash battery
         -> runs/h2h/gen_report.json
-Env: H2H_EPOCHS (default 200), H2H_ROOT (default runs/h2h).
+Env: H2H_EPOCHS (default 200), H2H_ROOT (default runs/h2h),
+     H2H_FOLD (compact|nerf|helix, default compact; "nerf" = the honest
+     torsion-built fixture — VERDICT r4 next #3 asks for the h2h ratio on
+     exactly that data), H2H_NOISE (conformer noise; for nerf this is the
+     torsion-jitter scale and defaults to 0.105 like the flagship run).
 """
 
 from __future__ import annotations
@@ -47,9 +51,12 @@ ROOT = os.environ.get("H2H_ROOT", os.path.join(REPO, "runs", "h2h"))
 EPOCHS = int(os.environ.get("H2H_EPOCHS", "200"))
 
 # Matched hyperparameters (single source of truth for both sides).
+_FOLD = os.environ.get("H2H_FOLD", "compact")
 HP = dict(
     # data
-    n_proteins=4, K=5, lengths=(48, 64), fold="compact", noise=0.3,
+    n_proteins=4, K=5, lengths=(48, 64), fold=_FOLD,
+    noise=float(os.environ.get("H2H_NOISE",
+                               "0.105" if _FOLD == "nerf" else "0.3")),
     seqemb_dim=64, data_seed=0,
     # model (reference decoder pins hidden/layers/W — see module docstring)
     d_model=128, nhead=4, ff=256, nlayers=2, z_global=64, z_local=32,
@@ -518,6 +525,11 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
     ep = int(sys.argv[2]) if len(sys.argv) > 2 else EPOCHS
     if cmd == "data":
+        # Host-side work; keep the chip free for a concurrently-training
+        # side. The axon sitecustomize force-selects the chip platform at
+        # startup, so pinning must go through jax.config (see conftest).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
         build_data()
     elif cmd == "ref":
         run_reference(ep)
