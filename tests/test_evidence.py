@@ -30,3 +30,19 @@ def test_results_md_runs_paths_are_tracked_in_git():
     assert not missing, (
         "RESULTS.md cites artifacts that are not tracked in git — commit "
         f"them (force-add past .gitignore's runs/ rule) or reword: {missing}")
+
+
+def test_results_md_quoted_section_titles_exist():
+    """A quoted «"..." section» cross-reference must name a real heading —
+    round 4 shipped a pointer to a "Generation-quality targets" section
+    that did not exist (VERDICT r4 weak #5a)."""
+    text = open(os.path.join(REPO, "RESULTS.md")).read()
+    headings = {m.group(1).strip()
+                for m in re.finditer(r"^#{1,4}\s+(.+?)\s*$", text,
+                                     re.MULTILINE)}
+    cited = re.findall(r"[“\"]([^“”\"]{3,80})[”\"]\s+"
+                       r"section", text)
+    missing = [c for c in cited
+               if not any(c.lower() in h.lower() for h in headings)]
+    assert not missing, (
+        f"RESULTS.md references sections that have no heading: {missing}")
