@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--w_ca_spacing", type=float, default=0.0,
                     help="beyond-reference virtual CA-CA 3.81A spacing bond "
                          "(0 = off/parity)")
+    ap.add_argument("--w_clash_vdw", type=float, default=0.0,
+                    help="beyond-reference vdW-overlap clash surrogate "
+                         "matched to the MolProbity clashscore event "
+                         "(losses.vdw_clash_loss; 0 = off/parity)")
     ap.add_argument("--strict_geometry", action="store_true",
                     help="preset: bond_delta=25 (quadratic region covers "
                          "real sampled-bond errors) + w_ca_spacing=100 -- "
@@ -190,7 +194,8 @@ def main(argv=None):
             w_clash=args.w_clash,
             bond_delta=25.0 if args.strict_geometry else args.bond_delta,
             w_ca_spacing=(100.0 if args.strict_geometry
-                          else args.w_ca_spacing)),
+                          else args.w_ca_spacing),
+            w_clash_vdw=args.w_clash_vdw),
         train=TrainConfig(
             batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
             seed=args.seed, kl_schedule=args.kl_schedule,

@@ -85,13 +85,14 @@ def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
 @functools.partial(jax.jit, static_argnames=(
     "steps", "lr", "anchor_weight", "w_bond", "bond_delta_scale",
     "w_spacing", "spacing_delta", "w_angle", "w_clash", "w_rama",
-    "w_omega", "w_clash_vdw"))
+    "w_omega", "w_clash_vdw", "lr_decay"))
 def refine_backbone(n, ca, c, mask, *, steps: int = 150, lr: float = 0.05,
                     anchor_weight: float = 0.05, w_bond: float = 1.0,
                     bond_delta_scale: float = 50.0, w_spacing: float = 1.0,
                     spacing_delta: float = 3.0, w_angle: float = 0.5,
                     w_clash: float = 5.0, w_rama: float = 0.5,
-                    w_omega: float = 0.5, w_clash_vdw: float = 0.0):
+                    w_omega: float = 0.5, w_clash_vdw: float = 0.0,
+                    lr_decay: bool = False):
     """Relax backbone coordinates toward valid local geometry.
 
     Args:
@@ -120,7 +121,13 @@ def refine_backbone(n, ca, c, mask, *, steps: int = 150, lr: float = 0.05,
         w_clash_vdw=w_clash_vdw)
     grad_fn = jax.grad(energy)
 
-    tx = optax.adam(lr)
+    # Constant-lr Adam leaves an lr-proportional jitter floor on the
+    # covalent terms (bond error plateaued at ~0.04 Å vs the 0.005 Å
+    # target across every round-4 sweep row regardless of weights);
+    # ``lr_decay`` anneals cosine-to-zero so the relaxation actually
+    # converges instead of oscillating around the minimum.
+    sched = optax.cosine_decay_schedule(lr, steps) if lr_decay else lr
+    tx = optax.adam(sched)
     opt_state = tx.init(coords0)
 
     def body(carry, _):

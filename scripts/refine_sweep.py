@@ -106,14 +106,18 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="3-setting sanity sweep instead of the full grid")
     ap.add_argument("--grid", default="rama",
-                    choices=["rama", "clash", "strict"],
+                    choices=["rama", "clash", "strict", "vdw"],
                     help="'rama' sweeps w_rama/anchor/steps at w_clash=5 "
                          "(the round-3 favored-%% axis); 'clash' holds the "
                          "rama winner (w=2.0, anchor=0.03) and sweeps "
                          "w_clash x steps toward the MolProbity <20 target; "
                          "'strict' is the hard-relaxation preset (long "
                          "anneals, low anchor, raised angle/clash weights) "
-                         "aiming to pass EVERY post-fix row at once")
+                         "aiming to pass EVERY post-fix row at once; "
+                         "'vdw' adds the round-5 remedies — the "
+                         "MolProbity-event vdW clash surrogate "
+                         "(losses.vdw_clash_loss) and cosine lr decay "
+                         "(kills the Adam jitter floor on bonds/angles)")
     args = ap.parse_args()
 
     from protein_ensemble_vae_tpu.infer.refine import refine_backbone
@@ -122,8 +126,9 @@ def main():
     print(f"[sweep] {len(ensembles)} ensembles from {args.pdb_dir}",
           flush=True)
 
-    # (w_rama=w_omega, anchor, steps, lr, w_clash, w_angle);
-    # round-3 default = (0.5, .05, 150, .05, 5.0, 0.5)
+    # (w_rama=w_omega, anchor, steps, lr, w_clash, w_angle[, w_clash_vdw,
+    # lr_decay]); round-3 default = (0.5, .05, 150, .05, 5.0, 0.5, 0, False)
+    w_bond = 1.0
     if args.quick:
         grid = [(0.5, 0.05, 150, 0.05, 5.0, 0.5),
                 (1.0, 0.05, 150, 0.05, 5.0, 0.5),
@@ -136,11 +141,19 @@ def main():
         grid = [(2.0, a, s, 0.05, wc, wa)
                 for a, s, wc, wa in itertools.product(
                     (0.01, 0.003), (600, 1200), (100.0, 400.0), (2.0, 8.0))]
+    elif args.grid == "vdw":
+        grid = [(2.0, a, s, 0.05, 5.0, wa, wv, True)
+                for a, s, wv, wa in itertools.product(
+                    (0.015, 0.003), (300, 600), (100.0, 400.0), (2.0, 8.0))]
+        # the round-5 noise experiment (RESULTS.md) needed w_bond=4.0 on
+        # top of lr decay to push bonds through the 0.005 A bar
+        w_bond = 4.0
     else:
         grid = [(w, a, s, 0.05, 5.0, 0.5)
                 for w, a, s in itertools.product((0.5, 1.0, 2.0),
                                                  (0.05, 0.03, 0.015),
                                                  (150, 300))]
+    grid = [g if len(g) == 8 else g + (0.0, False) for g in grid]
 
     rows = []
     raw_scores = []
@@ -149,7 +162,7 @@ def main():
     raw_agg = _mean_rows(raw_scores)
     print(f"[sweep] raw: {json.dumps(raw_agg)}", flush=True)
 
-    for w, anchor, steps, lr, w_clash, w_angle in grid:
+    for w, anchor, steps, lr, w_clash, w_angle, w_vdw, decay in grid:
         per = []
         for name, ens in ensembles:
             mask = ens["mask"]
@@ -157,17 +170,19 @@ def main():
             mk = np.broadcast_to(mask[None], (K, mask.shape[0])).copy()
             rn, rca, rc = refine_backbone(
                 ens["n"], ens["ca"], ens["c"], mk, steps=steps, lr=lr,
-                anchor_weight=anchor, w_rama=w, w_omega=w, w_clash=w_clash,
-                w_angle=w_angle)
+                anchor_weight=anchor, w_bond=w_bond, w_rama=w, w_omega=w,
+                w_clash=w_clash, w_angle=w_angle, w_clash_vdw=w_vdw,
+                lr_decay=decay)
             per.append(score(np.asarray(rn), np.asarray(rca),
                              np.asarray(rc), mask))
         agg = _mean_rows(per)
         agg.update(w_rama=w, anchor=anchor, steps=steps, lr=lr,
-                   w_clash=w_clash, w_angle=w_angle)
+                   w_clash=w_clash, w_angle=w_angle, w_clash_vdw=w_vdw,
+                   lr_decay=decay, w_bond=w_bond)
         agg["targets_pass"] = _targets_pass(agg)
         rows.append(agg)
         print(f"[sweep] w={w} anchor={anchor} steps={steps} wc={w_clash} "
-              f"wa={w_angle}: "
+              f"wa={w_angle} wv={w_vdw} decay={decay}: "
               f"fav={agg['favored']:.3f} out={agg['outlier']:.3f} "
               f"mp={agg['mp_clash']:.1f} gate={agg['gate']:.2f} "
               f"div={agg['diversity']:.3f} "

@@ -167,3 +167,33 @@ def test_refine_noop_on_valid_geometry():
     assert ok3, reason3
     disp = np.linalg.norm(np.asarray(rca)[0] - ca, axis=-1)
     assert disp.mean() < 2.0
+
+
+def test_refine_vdw_decay_reaches_postfix_bar_from_mild_noise():
+    """Round-5 remedies end-to-end: from a mildly corrupted (0.25 Å
+    coordinate noise) physically valid chain, refinement with cosine lr
+    decay + the MolProbity-event vdW clash term must recover the
+    BASELINE.md post-fix bar on its scoreable local rows — bond error
+    <= 0.005 Å and MolProbity-style backbone clashscore 0. Constant-lr
+    Adam provably cannot (it plateaus at an lr-proportional jitter floor,
+    ~0.04 Å across every round-4 sweep row)."""
+    from protein_ensemble_vae_tpu.data.synthetic import nerf_ensemble
+    from protein_ensemble_vae_tpu.eval.analyze import (bond_length_stats,
+                                                       molprobity_clashscore)
+
+    n, ca, c = nerf_ensemble(32, 1, seed=3)
+    rng = np.random.default_rng(0)
+    n = n + rng.normal(0, 0.25, n.shape).astype(np.float32)
+    ca = ca + rng.normal(0, 0.25, ca.shape).astype(np.float32)
+    c = c + rng.normal(0, 0.25, c.shape).astype(np.float32)
+    mask = np.ones((1, 32), np.float32)
+
+    rn, rca, rc = refine_backbone(n, ca, c, mask, steps=300, lr=0.05,
+                                  anchor_weight=0.015, w_bond=4.0,
+                                  w_rama=2.0, w_omega=2.0, w_angle=8.0,
+                                  w_clash_vdw=100.0, lr_decay=True)
+    rn, rca, rc = (np.asarray(x)[0] for x in (rn, rca, rc))
+    stats = bond_length_stats(rn, rca, rc, mask[0])
+    for bond in ("n_ca", "ca_c", "c_n"):
+        assert stats[bond]["mean_error"] <= 0.005, (bond, stats[bond])
+    assert molprobity_clashscore(rn, rca, rc, None, mask[0]) == 0.0
