@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "--refine_anchor 0.03 --refine_steps 300 best: "
                          "favored 91.7%%, outliers 0.2%%, gate 100%%, "
                          "diversity +37%% over the default)")
+    ap.add_argument("--refine_w_angle", type=float, default=0.5)
+    ap.add_argument("--refine_w_bond", type=float, default=1.0,
+                    help="covalent bond weight (4.0 with --refine_lr_decay "
+                         "reaches the 0.005 A post-fix bond bar)")
+    ap.add_argument("--refine_w_clash_vdw", type=float, default=0.0,
+                    help="MolProbity-event vdW clash weight in the refiner")
+    ap.add_argument("--refine_lr_decay", action="store_true",
+                    help="cosine-anneal the refiner step size to zero "
+                         "(kills the Adam jitter floor on bonds/angles)")
     return ap
 
 
@@ -97,7 +106,12 @@ def main(argv=None):
                              refine_steps=args.refine_steps,
                              refine_lr=args.refine_lr,
                              refine_anchor=args.refine_anchor,
-                             refine_w_rama=args.refine_w_rama)
+                             refine_w_rama=args.refine_w_rama,
+                             refine_kwargs=dict(
+                                 w_angle=args.refine_w_angle,
+                                 w_bond=args.refine_w_bond,
+                                 w_clash_vdw=args.refine_w_clash_vdw,
+                                 lr_decay=args.refine_lr_decay))
     print(f"[generate] wrote {len(out['results'])} structures to "
           f"{args.output_dir}; summary: {out['summary_path']}")
 

@@ -33,6 +33,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--w_omega", type=float, default=0.5,
                     help="trans-omega energy weight")
     ap.add_argument("--w_clash", type=float, default=5.0)
+    ap.add_argument("--w_angle", type=float, default=0.5)
+    ap.add_argument("--w_bond", type=float, default=1.0,
+                    help="covalent bond-length weight (4.0 with --lr_decay "
+                         "reaches the 0.005 A post-fix bar)")
+    ap.add_argument("--w_clash_vdw", type=float, default=0.0,
+                    help="MolProbity-event vdW-overlap clash weight "
+                         "(targets the clashscore the analyzer reports)")
+    ap.add_argument("--lr_decay", action="store_true",
+                    help="cosine-anneal the step size to zero (kills the "
+                         "Adam jitter floor on bonds/angles)")
     return ap
 
 
@@ -76,7 +86,10 @@ def main(argv=None):
     rn, rca, rc = refine_backbone(n, ca, c, mask_k, steps=args.steps,
                                   lr=args.lr, anchor_weight=args.anchor,
                                   w_rama=args.w_rama, w_omega=args.w_omega,
-                                  w_clash=args.w_clash)
+                                  w_clash=args.w_clash, w_angle=args.w_angle,
+                                  w_bond=args.w_bond,
+                                  w_clash_vdw=args.w_clash_vdw,
+                                  lr_decay=args.lr_decay)
     rn, rca, rc = np.asarray(rn), np.asarray(rca), np.asarray(rc)
     ok = report("after ", rn, rca, rc)
 

@@ -63,6 +63,7 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                        refine_lr: float = 0.05,
                        refine_anchor: float = 0.05,
                        refine_w_rama: float = 0.5,
+                       refine_kwargs: Optional[dict] = None,
                        verbose: bool = True) -> dict:
     if latent_source not in ("posterior", "prior"):
         raise ValueError(f"latent_source must be 'posterior' or 'prior', "
@@ -139,7 +140,8 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
             ens_n, ens_ca, ens_c = refine_backbone(
                 ens_n, ens_ca, ens_c, mask_rep, steps=refine_steps,
                 lr=refine_lr, anchor_weight=refine_anchor,
-                w_rama=refine_w_rama, w_omega=refine_w_rama)
+                w_rama=refine_w_rama, w_omega=refine_w_rama,
+                **(refine_kwargs or {}))
         ens_n, ens_ca, ens_c = (np.asarray(a) for a in (ens_n, ens_ca, ens_c))
 
         keep, reasons = [], []

@@ -42,15 +42,17 @@ from protein_ensemble_vae_tpu import losses as L
 from protein_ensemble_vae_tpu.ops.geometry import dihedrals_from_coords
 
 
-def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
-            bond_delta_scale, w_spacing, spacing_delta, w_angle, w_clash,
-            w_rama, w_omega, w_clash_vdw):
+def _energy(coords: dict, ref: dict, mask, w: dict, *, rama_on, vdw_on):
     """Local-geometry energy + soft anchor. All terms reuse the (masked,
     bounded-gradient) training losses, with deltas raised into their
     quadratic region so ~Å-scale violations produce proportional forces.
     The torsion terms (Ramachandran basins + trans-omega, through the
     differentiable ``dihedrals_from_coords``) keep the relaxation from
-    trading covalent fixes for backbone-dihedral damage."""
+    trading covalent fixes for backbone-dihedral damage.
+
+    ``w`` holds the weights as *traced* scalars (sweeping weight values
+    never recompiles); only the zero/nonzero structure of the expensive
+    optional terms (``rama_on``, ``vdw_on``) is static."""
     n, ca, c = coords["n"], coords["ca"], coords["c"]
     # clash follows the SAME kernel routing as the training loss: the
     # blocked Pallas kernel keeps long-chain refinement O(L) in memory
@@ -61,31 +63,28 @@ def _energy(coords: dict, ref: dict, mask, *, anchor_weight, w_bond,
         clash = clash_loss_pallas(n, ca, c, mask)
     else:
         clash = L.clash_loss(n, ca, c, mask)
-    e = (w_bond * L.bond_length_loss(n, ca, c, mask,
-                                     delta_scale=bond_delta_scale)
-         + w_spacing * L.ca_spacing_loss(ca, mask, delta=spacing_delta)
-         + w_angle * L.bond_angle_loss(n, ca, c, mask)
-         + w_clash * clash)
-    if w_clash_vdw != 0.0:
+    e = (w["w_bond"] * L.bond_length_loss(n, ca, c, mask,
+                                          delta_scale=w["bond_delta_scale"])
+         + w["w_spacing"] * L.ca_spacing_loss(ca, mask,
+                                              delta=w["spacing_delta"])
+         + w["w_angle"] * L.bond_angle_loss(n, ca, c, mask)
+         + w["w_clash"] * clash)
+    if vdw_on:
         # surrogate of the exact MolProbity counting event (vdW overlap
         # >= 0.4 A, 1-2/1-3/1-4 excluded) — the flat 3.2 A term above
         # misses the adjacent-residue 1-5 pairs the scorer counts
-        e = e + w_clash_vdw * L.vdw_clash_loss(n, ca, c, mask)
-    if w_rama != 0.0 or w_omega != 0.0:
+        e = e + w["w_clash_vdw"] * L.vdw_clash_loss(n, ca, c, mask)
+    if rama_on:
         dih = dihedrals_from_coords(n, ca, c, mask)
-        e = (e + w_rama * L.ramachandran_loss(dih, mask)
-             + w_omega * L.omega_trans_loss(dih, mask))
+        e = (e + w["w_rama"] * L.ramachandran_loss(dih, mask)
+             + w["w_omega"] * L.omega_trans_loss(dih, mask))
     msum = 3.0 * jnp.maximum(jnp.sum(mask), 1.0)
     anchor = sum(
         jnp.sum(jnp.square(coords[k] - ref[k]) * mask[..., None])
         for k in ("n", "ca", "c")) / msum
-    return e + anchor_weight * anchor
+    return e + w["anchor_weight"] * anchor
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "steps", "lr", "anchor_weight", "w_bond", "bond_delta_scale",
-    "w_spacing", "spacing_delta", "w_angle", "w_clash", "w_rama",
-    "w_omega", "w_clash_vdw", "lr_decay"))
 def refine_backbone(n, ca, c, mask, *, steps: int = 150, lr: float = 0.05,
                     anchor_weight: float = 0.05, w_bond: float = 1.0,
                     bond_delta_scale: float = 50.0, w_spacing: float = 1.0,
@@ -103,22 +102,39 @@ def refine_backbone(n, ca, c, mask, *, steps: int = 150, lr: float = 0.05,
       anchor_weight: strength of the pull back to the input coordinates
         (per-atom mean squared Å). Higher preserves more of the sample's
         conformation; lower fixes worse geometry.
+      lr_decay: cosine-anneal the step size to zero across ``steps``
+        (kills the lr-proportional Adam jitter floor — see ``_refine``).
+
+    Only ``steps``, ``lr_decay`` and the on/off structure of the torsion
+    and vdW terms are compile-time constants; every weight *value*
+    (including ``lr``) is traced, so weight sweeps over a fixed shape
+    reuse one compiled executable per (steps, lr_decay, structure).
 
     Returns:
       ``(n, ca, c)`` refined coordinates, same shapes/dtypes as the input.
     """
+    w = {k: jnp.float32(v) for k, v in dict(
+        anchor_weight=anchor_weight, w_bond=w_bond,
+        bond_delta_scale=bond_delta_scale, w_spacing=w_spacing,
+        spacing_delta=spacing_delta, w_angle=w_angle, w_clash=w_clash,
+        w_rama=w_rama, w_omega=w_omega, w_clash_vdw=w_clash_vdw).items()}
+    return _refine(n, ca, c, mask, w, jnp.float32(lr),
+                   steps=int(steps), lr_decay=bool(lr_decay),
+                   rama_on=(w_rama != 0.0 or w_omega != 0.0),
+                   vdw_on=(w_clash_vdw != 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "steps", "lr_decay", "rama_on", "vdw_on"))
+def _refine(n, ca, c, mask, w, lr, *, steps, lr_decay, rama_on, vdw_on):
     dtype = ca.dtype
     coords0 = {"n": jnp.asarray(n, jnp.float32),
                "ca": jnp.asarray(ca, jnp.float32),
                "c": jnp.asarray(c, jnp.float32)}
     maskf = jnp.asarray(mask, jnp.float32)
 
-    energy = functools.partial(
-        _energy, ref=coords0, mask=maskf, anchor_weight=anchor_weight,
-        w_bond=w_bond, bond_delta_scale=bond_delta_scale,
-        w_spacing=w_spacing, spacing_delta=spacing_delta, w_angle=w_angle,
-        w_clash=w_clash, w_rama=w_rama, w_omega=w_omega,
-        w_clash_vdw=w_clash_vdw)
+    energy = functools.partial(_energy, ref=coords0, mask=maskf, w=w,
+                               rama_on=rama_on, vdw_on=vdw_on)
     grad_fn = jax.grad(energy)
 
     # Constant-lr Adam leaves an lr-proportional jitter floor on the

@@ -44,30 +44,41 @@ class TrainState(struct.PyTreeNode):
     step: Array
 
 
-def make_optimizer(grad_clip: float = 10.0) -> optax.GradientTransformation:
+def make_optimizer(grad_clip: float = 10.0,
+                   flatten: bool = False) -> optax.GradientTransformation:
     """clip-by-global-norm + Adam moments; the LR is applied separately as a
     traced scalar (see ``make_train_step``).
 
     Wrapped in ``apply_if_finite``: a step whose gradients contain inf/NaN
     (e.g. a transient coordinate blow-up overflowing the global norm) is
     skipped instead of poisoning the parameters — the reference aborts the
-    whole run on the same event (training.py:136-146)."""
+    whole run on the same event (training.py:136-146).
+
+    ``flatten`` runs the whole chain on one raveled parameter vector
+    (``optax.flatten``): the ~300 per-tensor moment updates collapse into
+    a single fused pass, attacking the small-batch latency regime where
+    the optimizer scalar chain is un-amortized fixed overhead (roofline
+    B4 row). Opt-in because it changes the opt_state pytree layout —
+    checkpoints written one way do not resume the other way."""
     inner = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.scale_by_adam(),
     )
+    if flatten:
+        inner = optax.flatten(inner)
     return optax.apply_if_finite(inner, max_consecutive_errors=100)
 
 
 def create_train_state(model: HierCVAE, rng: Array, sample_batch: dict,
-                       grad_clip: float = 10.0) -> TrainState:
+                       grad_clip: float = 10.0,
+                       opt_flatten: bool = False) -> TrainState:
     p_rng, r_rng = jax.random.split(rng)
     variables = model.init(
         {"params": p_rng, "reparam": r_rng},
         sample_batch["seq_emb"], sample_batch["n"], sample_batch["ca"],
         sample_batch["c"], sample_batch["dihedrals"], sample_batch["mask"])
     params = variables["params"]
-    tx = make_optimizer(grad_clip)
+    tx = make_optimizer(grad_clip, flatten=opt_flatten)
     opt_state = tx.init(params)
     return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
@@ -132,10 +143,13 @@ def make_param_grad_fn(model: HierCVAE, weights: LossWeights) -> Callable:
 
 def make_train_step(model: HierCVAE, weights: LossWeights, train: bool,
                     grad_clip: float = 10.0,
-                    jit_wrapper: Optional[Callable] = None) -> Callable:
+                    jit_wrapper: Optional[Callable] = None,
+                    opt_flatten: bool = False) -> Callable:
     """Build the fused step. ``jit_wrapper`` lets the parallel layer supply a
-    mesh-aware jit (shardings); defaults to plain ``jax.jit``."""
-    tx = make_optimizer(grad_clip)
+    mesh-aware jit (shardings); defaults to plain ``jax.jit``.
+    ``opt_flatten`` must match the ``create_train_state`` that produced the
+    state (see ``make_optimizer``)."""
+    tx = make_optimizer(grad_clip, flatten=opt_flatten)
     loss_fn = make_loss_fn(model, weights, train)
 
     def step(state: TrainState, batch: dict, rng: Array,

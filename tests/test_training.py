@@ -255,3 +255,32 @@ def test_record_artifact_manifest(tmp_path):
     assert [r["name"] for r in recs] == ["best", "final"]
     assert recs[0]["epoch"] == 3 and recs[0]["metrics"]["rec"] == 1.5
     assert isinstance(recs[0]["metrics"]["loss"], float)
+
+
+def test_opt_flatten_matches_default_updates():
+    """make_optimizer(flatten=True) collapses the per-tensor Adam chain
+    into one raveled pass (scripts/opt_flatten_onchip.py measures the
+    latency win); the parameter trajectory must be numerically identical
+    to the default optimizer."""
+    import jax.numpy as jnp
+    from protein_ensemble_vae_tpu.train.training import make_optimizer
+
+    rng = np.random.default_rng(0)
+    params = {"a": jnp.asarray(rng.normal(0, 1, (7, 5)), jnp.float32),
+              "b": {"w": jnp.asarray(rng.normal(0, 1, (3,)), jnp.float32)}}
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(0, 1, p.shape), jnp.float32),
+        params)
+
+    outs = []
+    for flatten in (False, True):
+        tx = make_optimizer(10.0, flatten=flatten)
+        st = tx.init(params)
+        p = params
+        for _ in range(3):
+            up, st = tx.update(grads, st, p)
+            p = jax.tree.map(lambda x, u: x - 1e-3 * u, p, up)
+        outs.append(p)
+    for x, y in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
