@@ -106,7 +106,7 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="3-setting sanity sweep instead of the full grid")
     ap.add_argument("--grid", default="rama",
-                    choices=["rama", "clash", "strict", "vdw"],
+                    choices=["rama", "clash", "strict", "vdw", "max"],
                     help="'rama' sweeps w_rama/anchor/steps at w_clash=5 "
                          "(the round-3 favored-%% axis); 'clash' holds the "
                          "rama winner (w=2.0, anchor=0.03) and sweeps "
@@ -148,6 +148,12 @@ def main():
         # the round-5 noise experiment (RESULTS.md) needed w_bond=4.0 on
         # top of lr decay to push bonds through the 0.005 A bar
         w_bond = 4.0
+    elif args.grid == "max":
+        # chase the last two floors the 'vdw' grid left (mp ~88 at wv=400,
+        # C-N ~0.012 at steps=600): longer anneal + heavier clash/bond
+        grid = [(2.0, 0.003, 1200, 0.05, 5.0, 8.0, wv, True)
+                for wv in (400.0, 1600.0, 6400.0)]
+        w_bond = 8.0
     else:
         grid = [(w, a, s, 0.05, 5.0, 0.5)
                 for w, a, s in itertools.product((0.5, 1.0, 2.0),
