@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--refine_lr_decay", action="store_true",
                     help="cosine-anneal the refiner step size to zero "
                          "(kills the Adam jitter floor on bonds/angles)")
+    ap.add_argument("--refine_mode", default="cartesian",
+                    choices=["cartesian", "torsion"],
+                    help="'torsion' refines on the ideal-covalent-geometry "
+                         "NeRF manifold (infer/torsion_refine.py): bond/"
+                         "angle errors exactly zero by construction; only "
+                         "rama/omega/vdW-clash/anchor weights apply")
     return ap
 
 
@@ -111,7 +117,8 @@ def main(argv=None):
                                  w_angle=args.refine_w_angle,
                                  w_bond=args.refine_w_bond,
                                  w_clash_vdw=args.refine_w_clash_vdw,
-                                 lr_decay=args.refine_lr_decay))
+                                 lr_decay=args.refine_lr_decay),
+                             refine_mode=args.refine_mode)
     print(f"[generate] wrote {len(out['results'])} structures to "
           f"{args.output_dir}; summary: {out['summary_path']}")
 

@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--lr_decay", action="store_true",
                     help="cosine-anneal the step size to zero (kills the "
                          "Adam jitter floor on bonds/angles)")
+    ap.add_argument("--torsion", action="store_true",
+                    help="refine in torsion space on the ideal-covalent-"
+                         "geometry NeRF manifold (infer/torsion_refine.py):"
+                         " bond/angle errors are exactly zero by "
+                         "construction; only --w_rama/--w_omega/"
+                         "--w_clash_vdw/--anchor/--steps/--lr apply")
     return ap
 
 
@@ -83,13 +89,24 @@ def main(argv=None):
         return ok
 
     report("before", n, ca, c)
-    rn, rca, rc = refine_backbone(n, ca, c, mask_k, steps=args.steps,
-                                  lr=args.lr, anchor_weight=args.anchor,
-                                  w_rama=args.w_rama, w_omega=args.w_omega,
-                                  w_clash=args.w_clash, w_angle=args.w_angle,
-                                  w_bond=args.w_bond,
-                                  w_clash_vdw=args.w_clash_vdw,
-                                  lr_decay=args.lr_decay)
+    if args.torsion:
+        from protein_ensemble_vae_tpu.infer.torsion_refine import \
+            refine_torsions
+        rn, rca, rc = refine_torsions(
+            n, ca, c, mask_k, steps=args.steps, lr=args.lr,
+            anchor_weight=args.anchor, w_rama=args.w_rama,
+            w_omega=args.w_omega, w_clash_vdw=args.w_clash_vdw,
+            lr_decay=True)  # always anneal: convergence, not jitter
+    else:
+        rn, rca, rc = refine_backbone(n, ca, c, mask_k, steps=args.steps,
+                                      lr=args.lr, anchor_weight=args.anchor,
+                                      w_rama=args.w_rama,
+                                      w_omega=args.w_omega,
+                                      w_clash=args.w_clash,
+                                      w_angle=args.w_angle,
+                                      w_bond=args.w_bond,
+                                      w_clash_vdw=args.w_clash_vdw,
+                                      lr_decay=args.lr_decay)
     rn, rca, rc = np.asarray(rn), np.asarray(rca), np.asarray(rc)
     ok = report("after ", rn, rca, rc)
 

@@ -64,6 +64,7 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
                        refine_anchor: float = 0.05,
                        refine_w_rama: float = 0.5,
                        refine_kwargs: Optional[dict] = None,
+                       refine_mode: str = "cartesian",
                        verbose: bool = True) -> dict:
     if latent_source not in ("posterior", "prior"):
         raise ValueError(f"latent_source must be 'posterior' or 'prior', "
@@ -135,7 +136,19 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
         mask_rep = jnp.broadcast_to(mask_j, (num_samples, L_pad))
         ens_n, ens_ca, ens_c, ens_seq = _decode_jit(model, variables, zs_g,
                                                     zs_l, mask_rep)
-        if refine_steps > 0:
+        if refine_steps > 0 and refine_mode == "torsion":
+            # NeRF-manifold refinement: exact covalent geometry by
+            # construction (infer/torsion_refine.py); the Cartesian
+            # kwargs (w_angle/w_bond/...) don't apply on the manifold
+            from protein_ensemble_vae_tpu.infer.torsion_refine import \
+                refine_torsions
+            kw = {k: v for k, v in (refine_kwargs or {}).items()
+                  if k in ("w_clash_vdw", "lr_decay")}
+            ens_n, ens_ca, ens_c = refine_torsions(
+                ens_n, ens_ca, ens_c, mask_rep, steps=refine_steps,
+                lr=refine_lr, anchor_weight=refine_anchor,
+                w_rama=refine_w_rama, w_omega=refine_w_rama / 2.0, **kw)
+        elif refine_steps > 0:
             from protein_ensemble_vae_tpu.infer.refine import refine_backbone
             ens_n, ens_ca, ens_c = refine_backbone(
                 ens_n, ens_ca, ens_c, mask_rep, steps=refine_steps,

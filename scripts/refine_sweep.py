@@ -106,7 +106,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="3-setting sanity sweep instead of the full grid")
     ap.add_argument("--grid", default="rama",
-                    choices=["rama", "clash", "strict", "vdw", "max"],
+                    choices=["rama", "clash", "strict", "vdw", "max",
+                             "torsion"],
                     help="'rama' sweeps w_rama/anchor/steps at w_clash=5 "
                          "(the round-3 favored-%% axis); 'clash' holds the "
                          "rama winner (w=2.0, anchor=0.03) and sweeps "
@@ -117,7 +118,10 @@ def main():
                          "'vdw' adds the round-5 remedies — the "
                          "MolProbity-event vdW clash surrogate "
                          "(losses.vdw_clash_loss) and cosine lr decay "
-                         "(kills the Adam jitter floor on bonds/angles)")
+                         "(kills the Adam jitter floor on bonds/angles); "
+                         "'torsion' optimizes in torsion space on the "
+                         "ideal-geometry NeRF manifold (bond/angle rows "
+                         "exact by construction)")
     args = ap.parse_args()
 
     from protein_ensemble_vae_tpu.infer.refine import refine_backbone
@@ -152,14 +156,25 @@ def main():
         # chase the last two floors the 'vdw' grid left (mp ~88 at wv=400,
         # C-N ~0.012 at steps=600): longer anneal + heavier clash/bond
         grid = [(2.0, 0.003, 1200, 0.05, 5.0, 8.0, wv, True)
-                for wv in (400.0, 1600.0, 6400.0)]
+            for wv in (400.0, 1600.0, 6400.0)]
         w_bond = 8.0
+    elif args.grid == "torsion":
+        # torsion-space refinement (infer/torsion_refine.py): covalent
+        # rows hold by construction, so the grid only spans the
+        # clash-vs-rama-vs-anchor trade the manifold leaves open
+        grid = [dict(steps=s, lr=lr, anchor_weight=a, w_rama=wr,
+                     w_omega=wr / 2.0, w_clash_vdw=wv, lr_decay=True)
+                for (s, lr), a, (wr, wv) in itertools.product(
+                    ((300, 0.03), (600, 0.03)),
+                    (0.003, 0.01, 0.03),
+                    ((4.0, 400.0), (8.0, 1600.0)))]
     else:
         grid = [(w, a, s, 0.05, 5.0, 0.5)
                 for w, a, s in itertools.product((0.5, 1.0, 2.0),
                                                  (0.05, 0.03, 0.015),
                                                  (150, 300))]
-    grid = [g if len(g) == 8 else g + (0.0, False) for g in grid]
+    if args.grid != "torsion":
+        grid = [g if len(g) == 8 else g + (0.0, False) for g in grid]
 
     rows = []
     raw_scores = []
@@ -168,27 +183,39 @@ def main():
     raw_agg = _mean_rows(raw_scores)
     print(f"[sweep] raw: {json.dumps(raw_agg)}", flush=True)
 
-    for w, anchor, steps, lr, w_clash, w_angle, w_vdw, decay in grid:
+    if args.grid == "torsion":
+        from protein_ensemble_vae_tpu.infer.torsion_refine import \
+            refine_torsions
+
+    for cfg in grid:
         per = []
         for name, ens in ensembles:
             mask = ens["mask"]
             K = ens["ca"].shape[0]
             mk = np.broadcast_to(mask[None], (K, mask.shape[0])).copy()
-            rn, rca, rc = refine_backbone(
-                ens["n"], ens["ca"], ens["c"], mk, steps=steps, lr=lr,
-                anchor_weight=anchor, w_bond=w_bond, w_rama=w, w_omega=w,
-                w_clash=w_clash, w_angle=w_angle, w_clash_vdw=w_vdw,
-                lr_decay=decay)
+            if args.grid == "torsion":
+                rn, rca, rc = refine_torsions(ens["n"], ens["ca"],
+                                              ens["c"], mk, **cfg)
+            else:
+                w, anchor, steps, lr, w_clash, w_angle, w_vdw, decay = cfg
+                rn, rca, rc = refine_backbone(
+                    ens["n"], ens["ca"], ens["c"], mk, steps=steps, lr=lr,
+                    anchor_weight=anchor, w_bond=w_bond, w_rama=w,
+                    w_omega=w, w_clash=w_clash, w_angle=w_angle,
+                    w_clash_vdw=w_vdw, lr_decay=decay)
             per.append(score(np.asarray(rn), np.asarray(rca),
                              np.asarray(rc), mask))
         agg = _mean_rows(per)
-        agg.update(w_rama=w, anchor=anchor, steps=steps, lr=lr,
-                   w_clash=w_clash, w_angle=w_angle, w_clash_vdw=w_vdw,
-                   lr_decay=decay, w_bond=w_bond)
+        if args.grid == "torsion":
+            agg.update(mode="torsion", **cfg)
+        else:
+            w, anchor, steps, lr, w_clash, w_angle, w_vdw, decay = cfg
+            agg.update(w_rama=w, anchor=anchor, steps=steps, lr=lr,
+                       w_clash=w_clash, w_angle=w_angle, w_clash_vdw=w_vdw,
+                       lr_decay=decay, w_bond=w_bond)
         agg["targets_pass"] = _targets_pass(agg)
         rows.append(agg)
-        print(f"[sweep] w={w} anchor={anchor} steps={steps} wc={w_clash} "
-              f"wa={w_angle} wv={w_vdw} decay={decay}: "
+        print(f"[sweep] {json.dumps(cfg)}: "
               f"fav={agg['favored']:.3f} out={agg['outlier']:.3f} "
               f"mp={agg['mp_clash']:.1f} gate={agg['gate']:.2f} "
               f"div={agg['diversity']:.3f} "
