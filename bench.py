@@ -200,6 +200,32 @@ def model_flops_per_step(cfg, B, L, train=True) -> float:
     return 3.0 * fwd if train else fwd
 
 
+def make_fori_runner(raw_step, state, batch, args):
+    """One jitted module serving every chain length: the step count is a
+    runtime ``fori_loop`` bound, so a cold cache pays ONE compile per
+    shape. Shared by bench.py, scripts/roofline.py and
+    scripts/opt_flatten_onchip.py — identical tracing here means one
+    persistent-cache entry serves all three harnesses."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(state, batch, rng, klw_g, klw_l, lr, n):
+        def body(i, carry):
+            st, _ = carry
+            st, m = raw_step(st, batch, jax.random.fold_in(rng, i),
+                             klw_g, klw_l, lr)
+            return st, m["loss"]
+        _, loss = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+        return loss
+
+    def make_run(n):
+        nn = jnp.int32(n)
+        return lambda: run(state, batch, *args, nn)
+
+    return make_run
+
+
 def bench_shape(B, L, steps, use_pallas="auto", remat=False,
                 dtype_name="bf16") -> dict:
     """Time the fused train step at one shape; returns a suite row.
@@ -245,19 +271,7 @@ def bench_shape(B, L, steps, use_pallas="auto", remat=False,
     # separately — that doubling is what killed the round-4 driver bench).
     # Timing methodology is unchanged: per-step = (T(n2) - T(n1)) / (n2 - n1)
     # with synchronous float() fetches of a loss that depends on all n steps.
-    @jax.jit
-    def run(state, batch, rng, klw_g, klw_l, lr, n):
-        def body(i, carry):
-            st, _ = carry
-            st, m = raw_step(st, batch, jax.random.fold_in(rng, i),
-                             klw_g, klw_l, lr)
-            return st, m["loss"]
-        _, loss = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
-        return loss
-
-    def make_run(n):
-        nn = jnp.int32(n)
-        return lambda: run(state, batch, *args, nn)
+    make_run = make_fori_runner(raw_step, state, batch, args)
 
     n1 = max(steps // 5, 2)
     t_compile = time.perf_counter()

@@ -58,23 +58,10 @@ def main():
                                        opt_flatten=flatten)
             sargs = (jax.random.PRNGKey(1), jnp.float32(1.0),
                      jnp.float32(0.5), jnp.float32(3e-5))
-            _runs = {}
-
-            def make_run(n, state=state, raw_step=raw_step, batch=batch,
-                         sargs=sargs, _runs=_runs):
-                if n not in _runs:
-                    @jax.jit
-                    def run(state, batch, rng, klw_g, klw_l, lr):
-                        def body(st, i):
-                            st, m = raw_step(st, batch,
-                                             jax.random.fold_in(rng, i),
-                                             klw_g, klw_l, lr)
-                            return st, m["loss"]
-                        _, losses = jax.lax.scan(body, state,
-                                                 jnp.arange(n))
-                        return losses[-1]
-                    _runs[n] = lambda: run(state, batch, *sargs)
-                return _runs[n]
+            # same compiled module as bench.py at flatten=False -> the
+            # default arm is a persistent-cache hit after any bench run
+            make_run = benchmod.make_fori_runner(raw_step, state, batch,
+                                                 sargs)
 
             n1 = max(steps // 5, 2)
             float(make_run(n1)())    # compile + sanity (finite loss)

@@ -349,25 +349,12 @@ def main():
                        for p in jax.tree.leaves(state.params))
         cost, compiled = xla_cost(step, state, batch, sargs)
 
-        # measured per-step time, same methodology as bench.py
+        # measured per-step time, same methodology AND same compiled
+        # module as bench.py (bench.make_fori_runner: runtime fori bound
+        # -> one compile per shape, persistent-cache-shared with bench)
         raw_step = make_train_step(model, LossWeights(), train=True,
                                    jit_wrapper=lambda f: f)
-        _runs = {}
-
-        def make_run(n, raw_step=raw_step, state=state, batch=batch,
-                     sargs=sargs, _runs=_runs):
-            if n not in _runs:
-                @jax.jit
-                def run(state, batch, rng, klw_g, klw_l, lr):
-                    def body(st, i):
-                        st, m = raw_step(st, batch,
-                                         jax.random.fold_in(rng, i),
-                                         klw_g, klw_l, lr)
-                        return st, m["loss"]
-                    _, losses = jax.lax.scan(body, state, jnp.arange(n))
-                    return losses[-1]
-                _runs[n] = lambda: run(state, batch, *sargs)
-            return _runs[n]
+        make_run = benchmod.make_fori_runner(raw_step, state, batch, sargs)
 
         n1 = max(args_ns.steps // 5, 2)
         float(make_run(n1)())

@@ -100,3 +100,25 @@ def test_backend_init_watchdog_cancel_is_clean():
     assert p.returncode == 0
     assert "CLEAN" in p.stdout
     assert "backend init exceeded" not in p.stdout
+
+
+def test_make_fori_runner_single_module_any_length():
+    """The shared runner (bench.py <-> roofline <-> opt_flatten) must
+    serve every chain length from ONE jitted module (runtime fori bound):
+    n is a traced argument, so two lengths may not trigger two compiles,
+    and the returned loss must reflect exactly n steps."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    import bench as benchmod
+
+    def raw_step(state, batch, rng, klw_g, klw_l, lr):
+        state = state + batch["x"]
+        return state, {"loss": state}
+
+    args = (jnp.uint32([0, 1]), jnp.float32(1.0), jnp.float32(0.5),
+            jnp.float32(3e-5))
+    make_run = benchmod.make_fori_runner(
+        raw_step, jnp.float32(0.0), {"x": jnp.float32(2.0)}, args)
+    assert float(make_run(3)()) == 6.0
+    assert float(make_run(5)()) == 10.0
