@@ -58,11 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cosine-anneal the refiner step size to zero "
                          "(kills the Adam jitter floor on bonds/angles)")
     ap.add_argument("--refine_mode", default="cartesian",
-                    choices=["cartesian", "torsion"],
+                    choices=["cartesian", "torsion", "polish"],
                     help="'torsion' refines on the ideal-covalent-geometry "
                          "NeRF manifold (infer/torsion_refine.py): bond/"
                          "angle errors exactly zero by construction; only "
-                         "rama/omega/vdW-clash/anchor weights apply")
+                         "rama/omega/vdW-clash/anchor weights apply. "
+                         "'polish' prepends the measured Cartesian vdW "
+                         "relaxation (fixed weights from runs/"
+                         "refine_sweep_vdw.json's best row) before the "
+                         "manifold stage — the two-stage pipeline that "
+                         "passes the BASELINE post-fix table")
     return ap
 
 

@@ -48,6 +48,13 @@ def clash_score(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
 # aliphatic CA 1.70, carbonyl C 1.65, carbonyl O 1.40 A.
 _VDW_RADII = np.array([1.55, 1.70, 1.65, 1.40])   # N, CA, C, O
 _CLASH_OVERLAP = 0.4                               # "serious overlap", A
+# Probe scores donor–acceptor contacts as hydrogen bonds, not clashes:
+# overlap up to ~0.8 A between an N-H donor and a carbonyl O is favorable
+# (Word et al. 1999 "small-probe contact dots"). Without this allowance
+# every backbone helix H-bond (O(i)···N(i+4) ~2.6-3.0 A vs r_N+r_O =
+# 2.95) counts as a clash: ideal-geometry ground-truth chains scored
+# mp~20 from their own H-bond network (measured round 5).
+_HBOND_OVERLAP = 0.8
 
 
 def _backbone_bond_exclusions(L: int, max_bonds: int = 3) -> set:
@@ -117,7 +124,13 @@ def molprobity_clashscore(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
         return 0.0
     d = np.linalg.norm(order[:, None] - order[None, :], axis=-1)
     over = (r[:, None] + r[None, :]) - d
-    cand = np.argwhere(np.triu(over >= overlap, 1))
+    # donor–acceptor N···O pairs carry Probe's H-bond allowance: they
+    # clash only past _HBOND_OVERLAP, not _CLASH_OVERLAP (see above)
+    t = np.arange(n_atoms) % per_res
+    is_n, is_o = t == 0, t == 3
+    hb = (is_n[:, None] & is_o[None, :]) | (is_o[:, None] & is_n[None, :])
+    thr = np.where(hb, max(_HBOND_OVERLAP, overlap), overlap)
+    cand = np.argwhere(np.triu(over >= thr, 1))
     if per_res == 4:
         excluded = _backbone_bond_exclusions(int(valid.sum()))
     else:

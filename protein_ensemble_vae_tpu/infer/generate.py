@@ -136,18 +136,34 @@ def generate_ensembles(model: HierCVAE, variables, view, output_dir: str,
         mask_rep = jnp.broadcast_to(mask_j, (num_samples, L_pad))
         ens_n, ens_ca, ens_c, ens_seq = _decode_jit(model, variables, zs_g,
                                                     zs_l, mask_rep)
-        if refine_steps > 0 and refine_mode == "torsion":
+        if refine_steps > 0 and refine_mode in ("torsion", "polish"):
             # NeRF-manifold refinement: exact covalent geometry by
             # construction (infer/torsion_refine.py); the Cartesian
-            # kwargs (w_angle/w_bond/...) don't apply on the manifold
+            # kwargs (w_angle/w_bond/...) don't apply on the manifold.
+            # "polish" = the measured two-stage pipeline
+            # (runs/refine_sweep_polish.json): the Cartesian vdW
+            # relaxation first — torsion extraction from favored-~25 %
+            # raws starts too far from the Ramachandran basins for their
+            # Gaussian gradients to recover (runs/refine_sweep_torsion
+            # .json caps at favored 63.7 %) — then the manifold stage.
+            from protein_ensemble_vae_tpu.infer.refine import refine_backbone
             from protein_ensemble_vae_tpu.infer.torsion_refine import \
                 refine_torsions
+            if refine_mode == "polish":
+                # fixed 600-step stage exactly as measured in the sweep;
+                # refine_steps/lr/anchor/... only shape the torsion stage
+                ens_n, ens_ca, ens_c = refine_backbone(
+                    ens_n, ens_ca, ens_c, mask_rep, steps=600,
+                    lr=0.05, anchor_weight=0.003, w_bond=4.0, w_rama=2.0,
+                    w_omega=2.0, w_clash=5.0, w_angle=8.0,
+                    w_clash_vdw=400.0, lr_decay=True)
             kw = {k: v for k, v in (refine_kwargs or {}).items()
                   if k in ("w_clash_vdw", "lr_decay")}
             ens_n, ens_ca, ens_c = refine_torsions(
                 ens_n, ens_ca, ens_c, mask_rep, steps=refine_steps,
                 lr=refine_lr, anchor_weight=refine_anchor,
-                w_rama=refine_w_rama, w_omega=refine_w_rama / 2.0, **kw)
+                w_rama=refine_w_rama, w_omega=refine_w_rama / 2.0,
+                vdw_include_o=(refine_mode == "polish"), **kw)
         elif refine_steps > 0:
             from protein_ensemble_vae_tpu.infer.refine import refine_backbone
             ens_n, ens_ca, ens_c = refine_backbone(

@@ -24,16 +24,31 @@ from protein_ensemble_vae_tpu.config import AA_1TO3, AA_3TO1, BOND_C_O
 
 def compute_backbone_oxygen(n: np.ndarray, ca: np.ndarray, c: np.ndarray,
                             mask: np.ndarray) -> np.ndarray:
-    """O(i) = C(i) + 1.23 Å * unit(C(i-1) − CA(i-1)); first/invalid-prev
-    residues use +x."""
-    L = len(mask)
-    direction = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (L, 1))
-    if L > 1:
-        ref = c[:-1] - ca[:-1]
-        norm = np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-8
-        prev_ok = (mask[:-1] > 0.5)[:, None]
-        direction[1:] = np.where(prev_ok, ref / norm, direction[1:])
-    o = c + direction * BOND_C_O
+    """Carbonyl O in the sp² peptide plane: O(i) = C(i) − 1.23 Å ·
+    unit(unit(CA(i)−C(i)) + unit(N(i+1)−C(i))) — the exterior bisector of
+    the CA−C−N(i+1) angle, giving CA−C−O ≈ O−C−N ≈ 121–123°. The last /
+    next-invalid residue substitutes its own N for the missing N(i+1)
+    (terminal carboxylate orientation, still in the residue plane).
+
+    DELIBERATE deviation from reference generate_ensemble_pdbs.py:107-145,
+    which writes O along the PREVIOUS residue's CA→C direction — measured
+    consequence: ideal-geometry zero-clash ground-truth chains score
+    MolProbity ~68 from the misplaced O atoms alone (RESULTS.md round 5),
+    putting BASELINE's all-atom "<20" target out of reach of perfect
+    structures. In-plane O restores GT to 0."""
+    v1 = ca - c
+    v1 = v1 / (np.linalg.norm(v1, axis=-1, keepdims=True) + 1e-8)
+    nxt = np.empty_like(n)
+    nxt[:-1] = n[1:]
+    nxt[-1] = n[-1]
+    next_ok = np.zeros(len(mask), bool)
+    next_ok[:-1] = mask[1:] > 0.5
+    v2_src = np.where(next_ok[:, None], nxt, n)
+    v2 = v2_src - c
+    v2 = v2 / (np.linalg.norm(v2, axis=-1, keepdims=True) + 1e-8)
+    bis = v1 + v2
+    bis = bis / (np.linalg.norm(bis, axis=-1, keepdims=True) + 1e-8)
+    o = c - bis * BOND_C_O
     return np.where((mask > 0.5)[:, None], o, 0.0).astype(np.float32)
 
 

@@ -126,7 +126,7 @@ def torsions_from_coords(n, ca, c, mask):
 def refine_torsions(n, ca, c, mask, *, steps: int = 300, lr: float = 0.02,
                     anchor_weight: float = 0.03, w_rama: float = 1.0,
                     w_omega: float = 1.0, w_clash_vdw: float = 25.0,
-                    lr_decay: bool = True):
+                    lr_decay: bool = True, vdw_include_o: bool = False):
     """Project sampled backbones onto the ideal-geometry manifold and
     relax their torsions.
 
@@ -140,6 +140,9 @@ def refine_torsions(n, ca, c, mask, *, steps: int = 300, lr: float = 0.02,
         counting event); the only term that fights the anchor, since
         covalent geometry is exact on the manifold.
       lr_decay: cosine-anneal lr to zero (converge, don't jitter).
+      vdw_include_o: extend the vdW event to the differentiably-placed
+        carbonyl O (the atoms the analyzer scores), with Probe's H-bond
+        allowance on N···O pairs.
 
     Returns:
       ``(n, ca, c)`` ideal-covalent-geometry coordinates, same
@@ -149,11 +152,14 @@ def refine_torsions(n, ca, c, mask, *, steps: int = 300, lr: float = 0.02,
         anchor_weight=anchor_weight, w_rama=w_rama, w_omega=w_omega,
         w_clash_vdw=w_clash_vdw).items()}
     return _refine_torsions(n, ca, c, mask, w, jnp.float32(lr),
-                            steps=int(steps), lr_decay=bool(lr_decay))
+                            steps=int(steps), lr_decay=bool(lr_decay),
+                            vdw_include_o=bool(vdw_include_o))
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "lr_decay"))
-def _refine_torsions(n, ca, c, mask, w, lr, *, steps, lr_decay):
+@functools.partial(jax.jit, static_argnames=("steps", "lr_decay",
+                                             "vdw_include_o"))
+def _refine_torsions(n, ca, c, mask, w, lr, *, steps, lr_decay,
+                     vdw_include_o):
     dtype = ca.dtype
     ref = {"n": jnp.asarray(n, jnp.float32),
            "ca": jnp.asarray(ca, jnp.float32),
@@ -178,7 +184,8 @@ def _refine_torsions(n, ca, c, mask, w, lr, *, steps, lr_decay):
         dih = dihedrals_from_coords(bn, bca, bc, maskf)
         e = (w["w_rama"] * L.ramachandran_loss(dih, maskf)
              + w["w_omega"] * L.omega_trans_loss(dih, maskf)
-             + w["w_clash_vdw"] * L.vdw_clash_loss(bn, bca, bc, maskf))
+             + w["w_clash_vdw"] * L.vdw_clash_loss(
+                 bn, bca, bc, maskf, include_o=vdw_include_o))
         anchor = jnp.sum(jnp.square(bca - ref["ca"]) * maskf[..., None]) / msum
         return e + w["anchor_weight"] * anchor
 

@@ -304,14 +304,43 @@ def clash_loss(pred_n: Array, pred_ca: Array, pred_c: Array, mask: Array,
 
 
 # Probe/MolProbity van der Waals radii for the decoded backbone atoms
-# (Word et al. 1999): amide N 1.55, aliphatic CA 1.70, carbonyl C 1.65 Å.
-# Must match eval.analyze._VDW_RADII so the loss optimizes the same event
-# the metric counts.
+# (Word et al. 1999): amide N 1.55, aliphatic CA 1.70, carbonyl C 1.65,
+# carbonyl O 1.40 Å. Must match eval.analyze._VDW_RADII so the loss
+# optimizes the same event the metric counts.
 _VDW_N_CA_C = (1.55, 1.70, 1.65)
+_VDW_O = 1.40
+# bond-graph distances to/from the residue's junction atoms (N-CA, CA-C,
+# C-O in-residue bonds + the C(i)-N(i+1) peptide bond): steps from each
+# atom type to its residue's C, and from N to each atom type
+_STEPS_TO_C = (2, 1, 0, 1)     # N, CA, C, O
+_STEPS_FROM_N = (0, 1, 2, 3)   # N, CA, C, O
+
+
+def carbonyl_oxygen(pred_n: Array, pred_ca: Array, pred_c: Array,
+                    mask: Array) -> Array:
+    """Differentiable sp²-plane carbonyl O: O(i) = C(i) − 1.23 Å ·
+    unit(unit(CA(i)−C(i)) + unit(N(i+1)−C(i))) — the same placement
+    ``infer.pdb_io.compute_backbone_oxygen`` writes to PDB, so a loss
+    over these O positions optimizes the atoms the analyzer scores.
+    Last/next-invalid residues substitute their own N (terminal
+    carboxylate). Denominators floored for bounded gradients."""
+    from protein_ensemble_vae_tpu.config import BOND_C_O
+
+    def _unit(v):
+        return v / jnp.maximum(safe_norm(v, keepdims=True), 1e-4)
+
+    v1 = _unit(pred_ca - pred_c)
+    nxt = jnp.concatenate([pred_n[:, 1:], pred_n[:, -1:]], axis=1)
+    next_ok = jnp.concatenate(
+        [mask[:, 1:] > 0.5, jnp.zeros_like(mask[:, :1], bool)], axis=1)
+    v2 = _unit(jnp.where(next_ok[..., None], nxt, pred_n) - pred_c)
+    bis = _unit(v1 + v2)
+    return (pred_c - bis * BOND_C_O) * mask[..., None]
 
 
 def vdw_clash_loss(pred_n: Array, pred_ca: Array, pred_c: Array, mask: Array,
-                   count_overlap: float = 0.4, buffer: float = 0.1) -> Array:
+                   count_overlap: float = 0.4, buffer: float = 0.1,
+                   include_o: bool = False) -> Array:
     """Differentiable surrogate of the MolProbity backbone clashscore.
 
     Beyond-reference term (off by default, ``LossWeights.w_clash_vdw``).
@@ -332,30 +361,52 @@ def vdw_clash_loss(pred_n: Array, pred_ca: Array, pred_c: Array, mask: Array,
     tests/test_losses.py. ``buffer`` pushes pairs a margin PAST the 0.4 Å
     counting threshold so a converged loss leaves no borderline clashes.
     Normalization mirrors ``clash_loss`` (per-sample pair-count mean).
+
+    ``include_o=True`` additionally places the carbonyl O differentiably
+    (``carbonyl_oxygen``, the exact atoms the PDB writer emits and the
+    analyzer scores) and extends the pair set to the 4-atom bond graph —
+    with Probe's H-bond allowance: donor–acceptor N···O pairs only
+    penalize overlap past 0.8 Å, matching
+    ``eval.analyze.molprobity_clashscore`` (round-5 finding: without the
+    allowance, every helix H-bond counts as a clash).
     """
     B, L = pred_ca.shape[:2]
-    atoms = jnp.stack([pred_n, pred_ca, pred_c], axis=2).reshape(B, L * 3, 3)
-    atom_mask = jnp.repeat(mask, 3, axis=1)                      # [B, 3L]
+    P = 4 if include_o else 3
+    parts = [pred_n, pred_ca, pred_c]
+    radii_t = _VDW_N_CA_C + ((_VDW_O,) if include_o else ())
+    if include_o:
+        parts.append(carbonyl_oxygen(pred_n, pred_ca, pred_c, mask))
+    atoms = jnp.stack(parts, axis=2).reshape(B, L * P, 3)
+    atom_mask = jnp.repeat(mask, P, axis=1)                      # [B, PL]
 
-    dists = pairwise_distances(atoms, atoms)                     # [B, 3L, 3L]
+    dists = pairwise_distances(atoms, atoms)                     # [B, PL, PL]
 
-    idx = jnp.arange(L * 3)
-    res_idx, atom_t = idx // 3, idx % 3
+    idx = jnp.arange(L * P)
+    res_idx, atom_t = idx // P, idx % P
     sep = jnp.abs(res_idx[:, None] - res_idx[None, :])
-    # adjacent-residue pairs >3 covalent bonds apart: earlier residue's
-    # atom type strictly precedes the later residue's atom type
+    # adjacent-residue pairs > 3 covalent bonds apart, via the closed-form
+    # bond distance steps_to_C(earlier) + 1 + steps_from_N(later) (for
+    # N/CA/C this reduces to the earlier-type < later-type rule)
     earlier_t = jnp.where(res_idx[:, None] <= res_idx[None, :],
                           atom_t[:, None], atom_t[None, :])
     later_t = jnp.where(res_idx[:, None] <= res_idx[None, :],
                         atom_t[None, :], atom_t[:, None])
-    adj_counted = (sep == 1) & (earlier_t < later_t)
+    s_to_c = jnp.asarray(_STEPS_TO_C[:P])
+    s_from_n = jnp.asarray(_STEPS_FROM_N[:P])
+    adj_bonds = s_to_c[earlier_t] + 1 + s_from_n[later_t]
+    adj_counted = (sep == 1) & (adj_bonds >= 4)
     counted = ((sep >= 2) | adj_counted).astype(pred_ca.dtype)
-    triu = jnp.triu(jnp.ones((L * 3, L * 3), dtype=pred_ca.dtype), k=1)
+    triu = jnp.triu(jnp.ones((L * P, L * P), dtype=pred_ca.dtype), k=1)
     pair_mask = (atom_mask[:, :, None] * atom_mask[:, None, :]
                  * counted[None] * triu[None])
 
-    radii = jnp.tile(jnp.asarray(_VDW_N_CA_C, dtype=pred_ca.dtype), L)
-    thresh = radii[:, None] + radii[None, :] - count_overlap + buffer
+    radii = jnp.tile(jnp.asarray(radii_t, dtype=pred_ca.dtype), L)
+    co = jnp.full((L * P, L * P), count_overlap, dtype=pred_ca.dtype)
+    if include_o:
+        is_n, is_o = atom_t == 0, atom_t == 3
+        hb = (is_n[:, None] & is_o[None, :]) | (is_o[:, None] & is_n[None, :])
+        co = jnp.where(hb, jnp.maximum(0.8, count_overlap), co)
+    thresh = radii[:, None] + radii[None, :] - co + buffer
     violation = jax.nn.relu(thresh - dists)
     total = jnp.sum(jnp.square(violation) * pair_mask, axis=(1, 2))
     num_pairs = jnp.sum(pair_mask, axis=(1, 2))

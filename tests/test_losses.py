@@ -391,3 +391,70 @@ def test_total_loss_vdw_clash_opt_in(rng):
     on = total(LossWeights(w_clash_vdw=50.0))
     assert "clash_vdw" in on
     assert float(on["total"]) > float(base["total"])
+
+
+def test_carbonyl_oxygen_matches_pdb_writer(rng):
+    """losses.carbonyl_oxygen must place the SAME O atoms the PDB writer
+    emits (infer.pdb_io.compute_backbone_oxygen) — the O-aware loss has to
+    optimize exactly the atoms the analyzer scores."""
+    from protein_ensemble_vae_tpu.data.synthetic import nerf_ensemble
+    from protein_ensemble_vae_tpu.infer.pdb_io import compute_backbone_oxygen
+
+    n, ca, c = nerf_ensemble(24, 2, seed=3)
+    mask = np.ones((2, 24), np.float32)
+    o_loss = np.asarray(L.carbonyl_oxygen(jnp.asarray(n), jnp.asarray(ca),
+                                          jnp.asarray(c), jnp.asarray(mask)))
+    for k in range(2):
+        o_ref = compute_backbone_oxygen(n[k], ca[k], c[k], mask[k])
+        np.testing.assert_allclose(o_loss[k], o_ref, atol=1e-4)
+
+
+def test_vdw_clash_pair_set_with_o_matches_scorer():
+    """4-atom variant of the pair-set parity: the closed-form
+    steps_to_C + 1 + steps_from_N bond distance must reproduce the
+    scorer's BFS 1-2/1-3/1-4 exclusions exactly."""
+    from protein_ensemble_vae_tpu.eval.analyze import _backbone_bond_exclusions
+
+    Lr = 6
+    excluded = _backbone_bond_exclusions(Lr)
+    scorer_counted = {(i, j) for i in range(4 * Lr) for j in range(4 * Lr)
+                      if i < j and (i, j) not in excluded}
+
+    idx = np.arange(Lr * 4)
+    res_idx, atom_t = idx // 4, idx % 4
+    sep = np.abs(res_idx[:, None] - res_idx[None, :])
+    earlier_t = np.where(res_idx[:, None] <= res_idx[None, :],
+                         atom_t[:, None], atom_t[None, :])
+    later_t = np.where(res_idx[:, None] <= res_idx[None, :],
+                       atom_t[None, :], atom_t[:, None])
+    s_to_c = np.asarray(L._STEPS_TO_C)
+    s_from_n = np.asarray(L._STEPS_FROM_N)
+    adj_counted = (sep == 1) & (s_to_c[earlier_t] + 1 + s_from_n[later_t] >= 4)
+    counted = (sep >= 2) | adj_counted
+    loss_counted = {(i, j) for i in range(4 * Lr) for j in range(4 * Lr)
+                    if i < j and counted[i, j]}
+    assert loss_counted == scorer_counted
+
+
+def test_vdw_include_o_zero_on_extended_strand_positive_on_tangle(rng):
+    """include_o=True: an extended strand has no O contacts (H-bond
+    allowance covers donor-acceptor pairs) -> ~0 loss; a compressed chain
+    produces O-involved overlaps the 3-atom loss misses."""
+    from protein_ensemble_vae_tpu.data.synthetic import torsion_backbone
+
+    Lr = 24
+    phi = np.full(Lr, np.radians(-120.0))
+    psi = np.full(Lr, np.radians(140.0))
+    n, ca, c = (x[None] for x in torsion_backbone(phi, psi))
+    mask = np.ones((1, Lr), np.float32)
+    lv = float(L.vdw_clash_loss(jnp.asarray(n), jnp.asarray(ca),
+                                jnp.asarray(c), jnp.asarray(mask),
+                                include_o=True))
+    assert lv < 1e-6, lv
+
+    squashed = {k: jnp.asarray(v * np.array([0.55, 1.0, 1.0]))
+                for k, v in (("n", n), ("ca", ca), ("c", c))}
+    lv_bad = float(L.vdw_clash_loss(squashed["n"], squashed["ca"],
+                                    squashed["c"], jnp.asarray(mask),
+                                    include_o=True))
+    assert lv_bad > lv + 1e-4
