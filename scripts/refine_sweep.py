@@ -129,6 +129,9 @@ def main():
                          "torsion-space sweep on its output (two-stage)")
     args = ap.parse_args()
 
+    from protein_ensemble_vae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()   # sweep executables persist across runs
+
     from protein_ensemble_vae_tpu.infer.refine import refine_backbone
 
     ensembles = load_raw(args.pdb_dir)
